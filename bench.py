@@ -1,0 +1,96 @@
+"""Benchmark harness — prints ONE JSON line with headline query timings.
+
+Runs the scale-path queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. The headline metric is end-to-end dedup
+throughput in docs/sec (signatures → LSH+SimHash candidates → exact
+verify → connected components), matching BASELINE.json's metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simages_spark.config import DedupConfig  # noqa: E402
+from simages_spark.functions.signatures import compute_signatures  # noqa: E402
+from simages_spark.functions.text_stats import quality_columns  # noqa: E402
+from simages_spark.operators.connected_components import connected_components  # noqa: E402
+from simages_spark.operators.exact import exact_dup_groups  # noqa: E402
+from simages_spark.operators.lsh import candidate_pairs  # noqa: E402
+from simages_spark.operators.simhash_join import simhash_candidates  # noqa: E402
+from simages_spark.operators.suffix import substring_dup_pairs  # noqa: E402
+from simages_spark.operators.verify import verify_pairs  # noqa: E402
+from simages_spark.pipeline import find_duplicates  # noqa: E402
+from simages_spark.session import get_spark  # noqa: E402
+
+
+def _run(label, timings, fn):
+    t0 = time.time()
+    n = fn()
+    timings[label] = round(time.time() - t0, 3)
+    return n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = DedupConfig()
+    spark = get_spark("simages_spark_bench", cores=cpus, shuffle_partitions=cpus)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    docs = docs.repartition(cpus).persist()
+    docs.count()  # materialize cache so stage timings measure the operators
+
+    timings: dict[str, float] = {}
+
+    sig = compute_signatures(docs, cfg).persist()
+    _run("q_signatures", timings, lambda: sig.count())
+    _run("q_lsh_candidates", timings, lambda: candidate_pairs(sig, cfg).count())
+    _run("q_simhash_pairs", timings, lambda: simhash_candidates(sig, cfg).count())
+    _run(
+        "q_verified_edges",
+        timings,
+        lambda: verify_pairs(candidate_pairs(sig, cfg), sig, cfg).count(),
+    )
+    edges = verify_pairs(candidate_pairs(sig, cfg), sig, cfg).persist()
+    edges.count()
+    _run("q_clusters", timings, lambda: connected_components(edges, cfg).count())
+    _run("q_exact_dups", timings, lambda: exact_dup_groups(docs).count())
+    _run("q_doc_quality", timings, lambda: quality_columns(docs).count())
+    _run("q_substring_pairs", timings, lambda: substring_dup_pairs(docs, 64).count())
+    sig.unpersist()
+    edges.unpersist()
+
+    # end-to-end (no reuse of the persisted intermediates)
+    t0 = time.time()
+    result = find_duplicates(docs, cfg)
+    n_clusters = result.clusters.count()
+    e2e = time.time() - t0
+    timings["q_e2e_dedup"] = round(e2e, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_dedup_docs_per_sec",
+                "value": round(n_docs / e2e, 2),
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "n_clusters": n_clusters,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

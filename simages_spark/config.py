@@ -1,0 +1,52 @@
+"""Pipeline configuration.
+
+Mirrors the reference's knob surface (reference: src/simages/extractor.py:45-95,
+src/simages/main.py:52-133) re-targeted at the MinHash/SimHash config fixed by
+BASELINE.json: 5-gram shingles, 128 permutations, LSH b=16 r=8, 64-bit SimHash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- signature config (BASELINE.json north_star; analog of z_dim,
+    #     reference: src/simages/extractor.py:55) ---
+    shingle_size: int = 5  # tokens per shingle (5-gram)
+    num_perm: int = 128  # MinHash permutations
+    lsh_bands: int = 16  # b
+    lsh_rows: int = 8  # r  (b*r must equal num_perm)
+    simhash_bits: int = 64
+    simhash_blocks: int = 4  # pigeonhole blocks for Hamming-ball join
+    simhash_max_hamming: int = 3  # d: max Hamming distance for simhash edges
+    seed: int = 42  # permutation seed; analog of torch seed
+
+    # --- similarity thresholds (analog of `n`/`quantile`,
+    #     reference: src/simages/extractor.py:321-342) ---
+    jaccard_threshold: float = 0.5  # tau for verified edges
+
+    # --- scale / skew knobs (north_rule: explicit partitioning & skew) ---
+    shuffle_partitions: int | None = None  # None = leave session setting
+    max_bucket_size: int = 200  # LSH buckets larger than this are capped
+    bucket_salt: int = 8  # salt factor for oversized-bucket sampling
+    max_shingles_per_doc: int = 8192  # bound verify-join payload per doc
+
+    # --- checkpointing (analog of the .npy signature cache,
+    #     reference: src/simages/extractor.py:179-189) ---
+    checkpoint_dir: str | None = None
+    cc_checkpoint_every: int = 3  # localCheckpoint cadence in CC rounds
+    cc_max_rounds: int = 50
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perm:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.simhash_bits % self.simhash_blocks != 0:
+            raise ValueError("simhash_bits must be divisible by simhash_blocks")
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,96 @@
+"""Multimodal binary-column plumbing (images/audio/video as opaque bytes).
+
+The reference decodes images with PIL/torchvision
+(reference: src/simages/dataset.py:11-33, extractor.py:105-112). This
+container has no image/audio codecs, so the decode kernels are STUBS —
+`decode_image` raises NotImplementedError unless `fake=True`, which
+substitutes a deterministic structural parse (dimensions derived from the
+byte content). Everything Spark-side — schema, Arrow batching, partition
+flow, UDF signatures — is real and tested, so dropping in a real codec
+is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes int, magic string, width int, height int, "
+    "channels int, sha256 string"
+)
+
+_MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"<htm": "html",
+    b"<!do": "html",
+}
+
+
+def sniff_magic(payload: bytes) -> str:
+    """MIME sniff by magic bytes — the analog of the reference's libmagic
+    allowlist filter (reference: src/simages/duplicate_finder.py:342-374)."""
+    if not payload:
+        return "empty"
+    for magic, name in _MAGIC.items():
+        if payload[: len(magic)].lower().startswith(magic.lower()):
+            return name
+    return "unknown"
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs an image codec (PIL/libvips), absent here.
+
+    fake=True returns a deterministic 8×8×3 uint8 array derived from the
+    payload digest — stable fixture for testing the downstream plumbing.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec not present in this "
+            "environment; pass fake=True for the deterministic test stub"
+        )
+    digest = hashlib.sha256(payload).digest()
+    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
+    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def media_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Typed metadata over an opaque binary column via mapInPandas.
+
+    Arrow-batched; 'decode' here is the fake structural parse (real width/
+    height extraction slots into `decode_image`).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binary_col]
+            metas = []
+            for doc_id, payload in zip(pdf["doc_id"], payloads):
+                b = bytes(payload) if payload is not None else b""
+                arr = decode_image(b, fake=True)
+                metas.append(
+                    (
+                        int(doc_id),
+                        len(b),
+                        sniff_magic(b),
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        hashlib.sha256(b).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                metas,
+                columns=[
+                    "doc_id", "n_bytes", "magic", "width", "height",
+                    "channels", "sha256",
+                ],
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(run, schema=MEDIA_META_SCHEMA)

@@ -1,0 +1,110 @@
+"""Canonical tokenization + w-gram shingling.
+
+This is the text analog of the reference's deterministic eval transform
+(Resize/CenterCrop/Normalize, reference: src/simages/extractor.py:105-112):
+it must be *byte-identical* everywhere it is computed — the JVM column
+expressions (fast path), the numpy/pandas path inside the signature UDFs,
+and the DuckDB oracle SQL all implement exactly these semantics:
+
+    tokens(text)   = lower(text) split on runs of whitespace, '' removed
+    shingles(text) = distinct 5-gram token windows joined by ' ';
+                     if fewer than 5 tokens, the single shingle is all
+                     tokens joined by ' '
+
+Everything downstream (MinHash, SimHash, exact Jaccard) consumes this set.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = re.compile(r"\s+")
+
+# pandas' stable siphash key (default of pd.util.hash_array); we rely on it
+# being fixed so signatures are deterministic across runs and processes.
+_HASH_KEY = "0123456789123456"
+
+
+def tokenize(text: str) -> list[str]:
+    """Python-side canonical tokenizer (must match `tokens_col`)."""
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def shingle_strings(text: str, k: int = 5) -> list[str]:
+    """Python-side canonical distinct shingle set (must match `shingles_col`)."""
+    toks = tokenize(text)
+    if not toks:
+        return []
+    if len(toks) < k:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    # distinct, first-occurrence order (order is irrelevant downstream)
+    return list(dict.fromkeys(grams))
+
+
+def hash_shingles(shingles: list[str]) -> np.ndarray:
+    """Hash a shingle list to distinct uint64s (vectorized siphash via pandas).
+
+    C-speed and deterministic (fixed hash key); the 64-bit space makes
+    collisions negligible at any realistic per-doc shingle count.
+    """
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    arr = pd.util.hash_array(
+        np.asarray(shingles, dtype=object), hash_key=_HASH_KEY, categorize=False
+    )
+    return np.unique(arr.astype(np.uint64))
+
+
+def tokens_col(text: Column) -> Column:
+    """JVM-side tokens: lower, split on whitespace, drop empties."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def shingles_col(text: Column, k: int = 5) -> Column:
+    """JVM-side distinct shingle set as array<string> (whole-stage codegen).
+
+    Matches `shingle_strings` exactly; used by the oracle-checkable
+    exact-Jaccard queries so no Python runs in the comparison path.
+    """
+    toks = tokens_col(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, ngrams)
+        .when(F.size(toks) > 0, whole)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def duckdb_shingles_sql(text_expr: str = "text", k: int = 5) -> str:
+    """DuckDB SQL fragment computing the same distinct shingle set.
+
+    Returns an expression usable in a SELECT given `text_expr`; relies on a
+    lateral-style subquery over a tokens CTE being available, so callers
+    inline it as: list_distinct(CASE ... END) over `toks`.
+    """
+    return f"""
+    list_distinct(
+      CASE
+        WHEN len(toks) >= {k} THEN
+          [array_to_string(toks[i:i+{k - 1}], ' ') for i in range(1, len(toks) - {k - 2})]
+        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+        ELSE []
+      END
+    )
+    """.strip()
+
+
+DUCKDB_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower({text}), '\\s+'), t -> t != '')"
+)

@@ -1,0 +1,76 @@
+"""Duplicate groups + dedup policy (SURVEY.md §2.4 A1/A2/A5).
+
+Re-expresses the reference's Mongo aggregation pipeline
+(`$group(_id=pair_hash, total, items=$push)` → `$match(total>1)` →
+`$sort`, reference: src/simages/duplicate_finder.py:255-283) and the
+keep-first delete policy (reference: src/simages/duplicate_finder.py:403-409)
+as declarative groupBy/window plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from simages_spark.config import DedupConfig
+
+
+def duplicate_groups(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """clusters(doc_id, cluster_id) × docs metadata → groups.
+
+    groups(cluster_id, total, items array<struct>) — items sorted by the
+    deterministic keeper rank so items[0] is the keeper, mirroring the
+    Mongo `$push` order contract (reference: src/simages/duplicate_finder.py:264-272).
+    """
+    member_cols = [c for c in docs.columns if c != "doc_id"]
+    joined = clusters.join(docs, "doc_id")
+    item = F.struct(*_keeper_rank_cols(docs), F.col("doc_id"), *[F.col(c) for c in member_cols])
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sort_array(F.collect_list(item)).alias("items"),
+        )
+        .where(F.col("total") > 1)
+    )
+
+
+def _keeper_rank_cols(docs: DataFrame) -> list:
+    """Deterministic keeper ordering: min warc_ts (when present) then min
+    doc_id/url — replaces the reference's insertion-order accident
+    (reference: src/simages/duplicate_finder.py:403-409)."""
+    cols = []
+    if "warc_ts" in docs.columns:
+        cols.append(F.col("warc_ts"))
+    return cols
+
+
+def same_time_filter(groups: DataFrame, ts_field: str = "warc_ts") -> DataFrame:
+    """A2: keep a group only if all members share the timestamp, with the
+    unknown sentinel passing (reference: src/simages/duplicate_finder.py:243-252
+    — `"Time unknown"` ⇒ keep). Null warc_ts plays the sentinel role."""
+    ts_vals = F.expr(f"array_distinct(transform(items, x -> x.{ts_field}))")
+    return groups.where(
+        (F.size(F.filter(ts_vals, lambda t: t.isNotNull())) <= 1)
+    )
+
+
+def keep_first_policy(
+    clusters: DataFrame, docs: DataFrame, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """A5: per cluster keep one deterministic keeper, mark the rest for
+    deletion. Returns (doc_id, cluster_id, is_keeper). The `to_delete`
+    view is `where(~is_keeper)` — the analog of moving files to Trash
+    (reference: src/simages/duplicate_finder.py:286-301) becomes an ACID
+    `DELETE FROM` on the corpus table.
+    """
+    order = []
+    if "warc_ts" in docs.columns:
+        order.append(F.col("warc_ts").asc_nulls_last())
+    order.append(F.col("doc_id").asc())
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    joined = clusters.join(docs, "doc_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )

@@ -1,0 +1,113 @@
+"""End-to-end near-duplicate pipeline — API parity with the reference's
+`find_duplicates` (reference: src/simages/main.py:136-205).
+
+    docs → signatures (MinHash+SimHash, Arrow UDF)
+         → LSH candidates ∪ SimHash candidates ∪ exact-hash edges
+         → exact-Jaccard verify (JVM)
+         → connected components (large-star/small-star)
+         → clusters / groups / keep-first policy
+
+Each arrow is a checkpointable stage; pass `cfg.checkpoint_dir` to get
+resume-from-checkpoint with lineage + metrics (north_rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from simages_spark.checkpoint import CheckpointStore
+from simages_spark.config import DedupConfig
+from simages_spark.functions.signatures import compute_signatures
+from simages_spark.operators.connected_components import connected_components
+from simages_spark.operators.exact import exact_dup_edges
+from simages_spark.operators.groups import keep_first_policy
+from simages_spark.operators.lsh import candidate_pairs
+from simages_spark.operators.simhash_join import simhash_candidates
+from simages_spark.operators.verify import verify_pairs
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame
+    candidates: DataFrame
+    edges: DataFrame  # verified (src, dst, jaccard)
+    clusters: DataFrame  # (doc_id, cluster_id), only docs in some edge
+
+
+def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return compute_signatures(docs, cfg)
+
+
+def build_candidates(
+    docs: DataFrame, signatures: DataFrame, cfg: DedupConfig, use_simhash: bool = True
+) -> DataFrame:
+    cand = candidate_pairs(signatures, cfg)
+    if use_simhash:
+        cand = cand.unionByName(
+            simhash_candidates(signatures, cfg).select("src", "dst")
+        )
+    # exact-hash layer is cheap and guarantees identical docs pair up even
+    # if both LSH and SimHash somehow missed (they can't, but free is free)
+    cand = cand.unionByName(exact_dup_edges(docs).select("src", "dst"))
+    return cand.dropDuplicates(["src", "dst"])
+
+
+def find_duplicates(
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    use_simhash: bool = True,
+) -> DedupResult:
+    """The flagship path (reference: src/simages/main.py:136-205).
+
+    `docs` needs (doc_id long, text string). Returns lazy DataFrames; with
+    cfg.checkpoint_dir set, signatures/edges/clusters are materialized and
+    a rerun resumes from whatever stages already exist.
+    """
+    cfg = cfg or DedupConfig()
+    store = (
+        CheckpointStore(docs.sparkSession, cfg.checkpoint_dir)
+        if cfg.checkpoint_dir
+        else None
+    )
+
+    if store:
+        signatures = store.get_or_compute(
+            "signatures", lambda: build_signatures(docs, cfg)
+        )
+    else:
+        signatures = build_signatures(docs, cfg)
+
+    candidates = build_candidates(docs, signatures, cfg, use_simhash)
+
+    def _edges() -> DataFrame:
+        return verify_pairs(candidates, signatures, cfg)
+
+    edges = store.get_or_compute("edges", _edges) if store else _edges()
+
+    def _clusters() -> DataFrame:
+        return connected_components(edges, cfg)
+
+    clusters = store.get_or_compute("clusters", _clusters) if store else _clusters()
+
+    return DedupResult(
+        signatures=signatures, candidates=candidates, edges=edges, clusters=clusters
+    )
+
+
+def dedup_plan(docs: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """clusters + keeper policy in one call: (doc_id, cluster_id, is_keeper)."""
+    cfg = cfg or DedupConfig()
+    result = find_duplicates(docs, cfg)
+    return keep_first_policy(result.clusters, docs, cfg)
+
+
+def top_pairs(docs: DataFrame, n: int = 5, cfg: DedupConfig | None = None) -> DataFrame:
+    """(src, dst, jaccard) — closest pairs first, the reference's return
+    contract (pairs+distances, reference: src/simages/main.py:197-205;
+    default n=5 reference: src/simages/main.py:138). n is clamped to the
+    number of edges naturally (LIMIT semantics vs the explicit clamp at
+    reference: src/simages/extractor.py:330-333)."""
+    result = find_duplicates(docs, cfg)
+    return result.edges.orderBy(F.col("jaccard").desc(), "src", "dst").limit(n)

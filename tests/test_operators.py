@@ -1,0 +1,120 @@
+"""Unit tests: LSH banding, simhash join, exact layer, joins, top-k, suffix."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simages_spark.config import DedupConfig
+from simages_spark.operators.exact import exact_dup_edges, exact_dup_groups
+from simages_spark.operators.joins import anti_join_new, enrich_pairs, semi_join_lookup
+from simages_spark.operators.lsh import band_keys, candidate_pairs, lsh_metrics
+from simages_spark.operators.simhash_join import simhash_candidates
+from simages_spark.operators.suffix import substring_dup_pairs
+from simages_spark.functions.signatures import compute_signatures
+from simages_spark.operators.verify import top_k_pairs, verify_pairs
+
+CFG = DedupConfig()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_band_keys_shape(spark):
+    docs = _docs(spark, [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")])
+    sig = compute_signatures(docs, CFG)
+    bk = band_keys(sig, CFG)
+    rows = bk.collect()
+    assert len(rows) == 2 * 16
+    # identical docs → identical band keys; different docs → (w.h.p.) different
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add((r["band"], r["band_key"]))
+    assert len(per_doc[1] & per_doc[2]) == 0
+
+
+def test_exact_copy_always_candidate(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [(1, text), (2, text), (3, "totally different words here")])
+    sig = compute_signatures(docs, CFG)
+    cands = {(r["src"], r["dst"]) for r in candidate_pairs(sig, CFG).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_verify_exact_jaccard(spark):
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")])
+    sig = compute_signatures(docs, CFG)
+    cands = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    edges = verify_pairs(cands, sig, CFG, keep_below_threshold=True).collect()
+    # shingles doc1: {a b c d e, b c d e f}; doc2: {a b c d e, b c d e g}
+    # jaccard = 1/3
+    assert len(edges) == 1
+    assert abs(edges[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_simhash_candidates_for_exact_copy(spark):
+    text = "x y z w v u t s r q p o n m l k"
+    docs = _docs(spark, [(1, text), (2, text)])
+    sig = compute_signatures(docs, CFG)
+    got = {(r["src"], r["dst"]) for r in simhash_candidates(sig, CFG).collect()}
+    assert got == {(1, 2)}
+
+
+def test_exact_dup_layer(spark):
+    docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["total"] == 2
+    edges = exact_dup_edges(docs).collect()
+    assert [(e["src"], e["dst"], e["jaccard"]) for e in edges] == [(1, 2, 1.0)]
+
+
+def test_salting_caps_hot_bucket(spark):
+    """100 identical docs → one hot LSH bucket; with max_bucket_size below
+    100 the salt splits it and pair count drops below C(100,2), while
+    metrics surface the split (no silent caps)."""
+    cfg = DedupConfig(max_bucket_size=10, bucket_salt=4)
+    docs = _docs(spark, [(i, "w x y z a b c d e f g h") for i in range(100)])
+    sig = compute_signatures(docs, cfg)
+    n_pairs = candidate_pairs(sig, cfg).count()
+    assert 0 < n_pairs < 100 * 99 // 2
+    m = lsh_metrics(sig, cfg).collect()[0]
+    assert m["n_salted_buckets"] > 0
+    assert m["max_bucket_n"] == 100
+
+
+def test_anti_semi_enrich_joins(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["doc_id", "text", "n_chars"]
+    )
+    known = spark.createDataFrame([(1,)], ["doc_id"])
+    assert {r["doc_id"] for r in anti_join_new(docs, known, "doc_id").collect()} == {2, 3}
+    assert {r["doc_id"] for r in semi_join_lookup(docs, known, "doc_id").collect()} == {1}
+    edges = spark.createDataFrame([(1, 2, 0.9), (1, 99, 0.8)], ["src", "dst", "jaccard"])
+    enriched = enrich_pairs(edges, docs, ["n_chars"]).collect()
+    # pair with missing member (99) dropped — reference drop-if-missing
+    assert len(enriched) == 1
+    assert enriched[0]["src_n_chars"] == 10 and enriched[0]["dst_n_chars"] == 20
+
+
+def test_top_k(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5), (3, 4, 0.9), (5, 6, 0.7)], ["src", "dst", "jaccard"]
+    )
+    got = [(r["src"], r["dst"]) for r in top_k_pairs(edges, 2).collect()]
+    assert got == [(3, 4), (5, 6)]
+
+
+def test_substring_pairs(spark):
+    shared = " ".join(f"tok{i}" for i in range(40))  # ~240 chars verbatim
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "delta " + shared + " epsilon zeta"),
+            (3, "completely unrelated content " * 10),
+        ],
+    )
+    pairs = {(r["src"], r["dst"]) for r in substring_dup_pairs(docs, 64).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

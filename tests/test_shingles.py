@@ -1,0 +1,59 @@
+"""Shingling parity: Python path == JVM column path == golden values."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from simages_spark.functions.shingles import (
+    hash_shingles,
+    shingle_strings,
+    shingles_col,
+    tokenize,
+)
+
+
+def test_tokenize_basic():
+    assert tokenize("The  quick\tBrown\nfox ") == ["the", "quick", "brown", "fox"]
+    assert tokenize("") == []
+    assert tokenize("   ") == []
+
+
+def test_shingle_strings_golden():
+    text = "a b c d e f g"
+    assert shingle_strings(text, 5) == ["a b c d e", "b c d e f", "c d e f g"]
+    # short doc: single whole-text shingle
+    assert shingle_strings("x y z", 5) == ["x y z"]
+    assert shingle_strings("", 5) == []
+    # duplicates collapse
+    assert shingle_strings("a a a a a a", 5) == ["a a a a a"]
+
+
+def test_hash_shingles_deterministic():
+    h1 = hash_shingles(["a b c d e", "b c d e f"])
+    h2 = hash_shingles(["b c d e f", "a b c d e"])
+    assert h1.dtype == np.uint64
+    assert sorted(h1.tolist()) == sorted(h2.tolist())
+    assert len(set(h1.tolist())) == 2
+
+
+def test_jvm_matches_python(spark, docs_sf0001):
+    rows = (
+        docs_sf0001.select("doc_id", "text", shingles_col(F.col("text")).alias("sh"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert sorted(r["sh"]) == sorted(shingle_strings(r["text"])), r["doc_id"]
+
+
+def test_jvm_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two"), (4, "a b c d e f")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: sorted(r["sh"]) for r in df.select(
+        "doc_id", shingles_col(F.col("text")).alias("sh")).collect()}
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["one two"]
+    assert got[4] == ["a b c d e", "b c d e f"]

@@ -1,0 +1,100 @@
+"""Text-analysis functions + ANN + multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simages_spark.functions.multimodal import decode_image, media_metadata, sniff_magic
+from simages_spark.functions.text_stats import doc_fingerprint, quality_columns
+from simages_spark.operators.ann import (
+    ann_cosine_pairs,
+    bruteforce_cosine_pairs,
+    cosine_topk,
+)
+
+
+def test_quality_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "The cat and the dog"), (2, ""), (3, "a-b c! d?")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in quality_columns(docs).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert got[1]["lang_pred"] == "en"  # 'the' + 'and' hits
+    assert got[1]["stopword_ratio"] == pytest.approx(2 / 5)  # distinct hits: the, and
+    assert got[2]["n_tokens"] == 0 and got[2]["lang_pred"] == "und"
+    assert got[3]["symbol_ratio"] == pytest.approx(3 / 9, abs=1e-6)
+
+
+def test_fingerprint_deterministic_and_content_defined(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert got[1] == got[2] != got[3]
+    assert len(got[1]) == 32  # md5 hex
+
+
+def test_bruteforce_cosine(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {
+        (r["src"], r["dst"]): r["cosine"]
+        for r in bruteforce_cosine_pairs(emb, 0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    topk = cosine_topk(emb, 1).collect()
+    assert (topk[0]["src"], topk[0]["dst"]) == (1, 2)
+
+
+def test_ann_lsh_recall_on_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    exact = {
+        (r["src"], r["dst"])
+        for r in bruteforce_cosine_pairs(emb, 0.95).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in ann_cosine_pairs(emb, 0.95, dim, bits=8).collect()
+    }
+    assert approx <= exact  # exact re-rank ⇒ no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_sniff_magic():
+    assert sniff_magic(b"\x89PNG\r\n") == "png"
+    assert sniff_magic(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_magic(b"<html><body>") == "html"
+    assert sniff_magic(b"") == "empty"
+    assert sniff_magic(b"\x00\x01") == "unknown"
+
+
+def test_decode_image_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    a = decode_image(b"payload", fake=True)
+    b = decode_image(b"payload", fake=True)
+    assert np.array_equal(a, b) and a.shape == (8, 8, 3)
+
+
+def test_media_metadata_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<html><body>x</body></html>")), (2, bytearray(b"\x89PNG1234"))],
+        "doc_id long, html binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in media_metadata(df).collect()}
+    assert got[1]["magic"] == "html" and got[2]["magic"] == "png"
+    assert got[1]["width"] == 8 and got[1]["channels"] == 3
+    assert got[1]["n_bytes"] == 27
