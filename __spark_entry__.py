@@ -339,7 +339,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_SHINGLES})
         """,
         "binary_metadata": (
-            "SELECT doc_id, octet_length(text)::INT AS n_bytes, "
+            "SELECT doc_id, strlen(text)::INT AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
         ),
         "cosine_topk": """

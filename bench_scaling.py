@@ -1,0 +1,96 @@
+"""Scaling-efficiency evidence: same e2e dedup job at local[8] vs local[32].
+
+Sandbox proxy for the north rule's N vs 4N executor criterion (no real
+cluster available): one JVM per parallelism level (fresh subprocess), same
+deterministic synthetic corpus, throughput reported at both levels plus
+efficiency = tput@4N / (4 × tput@N). Results land in BENCH/BASELINE.md.
+
+Usage:
+  python bench_scaling.py                 # orchestrates both levels
+  python bench_scaling.py --cores 8      # single measurement (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
+
+
+def measure(cores: int) -> dict:
+    from simages_spark.config import DedupConfig
+    from simages_spark.pipeline import find_duplicates
+    from simages_spark.session import get_spark
+    from simages_spark.sources.corpus import generate_pages, mint_doc_ids
+
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+    cfg = DedupConfig()
+    docs = (
+        mint_doc_ids(generate_pages(spark, N_DOCS, seed=42, partitions=cores * 4))
+        .select("doc_id", "text")
+        .persist()
+    )
+    n = docs.count()  # materialize input so we time the pipeline, not gen
+    t0 = time.time()
+    result = find_duplicates(docs, cfg)
+    n_clusters = result.clusters.count()
+    elapsed = time.time() - t0
+    out = {
+        "cores": cores,
+        "n_docs": n,
+        "n_clusters": n_clusters,
+        "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n / elapsed, 2),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+    if args.cores:
+        print("RESULT " + json.dumps(measure(args.cores)))
+        return
+
+    results = {}
+    for cores in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], proc.stderr[-3000:])
+            raise SystemExit(f"measurement at cores={cores} failed")
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+        print(f"local[{cores}]: {results[cores]}")
+
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = t32 / (4 * t8)
+    summary = {
+        "n_docs": N_DOCS,
+        "throughput_local8_docs_per_sec": t8,
+        "throughput_local32_docs_per_sec": t32,
+        "scaling_efficiency_8_to_32": round(eff, 3),
+        "clusters_equal_across_levels": results[8]["n_clusters"]
+        == results[32]["n_clusters"],
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump({"runs": results, "summary": summary}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

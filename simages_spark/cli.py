@@ -1,0 +1,115 @@
+"""spark-submit CLI — stage-by-stage pipeline runner.
+
+Subcommand parity with the reference CLI (`simages add/find/show/remove/
+clear`, reference: src/simages/main.py:14-35,238-288), re-cut along the
+batch pipeline's checkpoint boundaries so any stage can be (re)run or
+resumed independently (north_rule: resumable with lineage + metrics):
+
+    spark-submit --py-files simages_spark.zip -m simages_spark.cli \\
+        <ingest|signatures|candidates|cluster|report|apply-policy|show|clear> \\
+        --input <parquet dir/table> --workdir <checkpoint root> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from simages_spark.checkpoint import CheckpointStore
+from simages_spark.config import DedupConfig
+from simages_spark.functions.signatures import compute_signatures
+from simages_spark.operators.connected_components import connected_components
+from simages_spark.operators.groups import duplicate_groups, keep_first_policy
+from simages_spark.operators.lsh import lsh_metrics
+from simages_spark.pipeline import build_candidates
+from simages_spark.operators.verify import verify_pairs
+from simages_spark.session import get_spark
+from simages_spark.sources.corpus import ingest as ingest_op, mint_doc_ids
+
+
+def _load_docs(spark, path: str):
+    df = spark.read.parquet(path)
+    if "doc_id" not in df.columns:
+        df = mint_doc_ids(df, "url")
+    return df
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="simages-spark")
+    ap.add_argument("command", choices=[
+        "ingest", "signatures", "candidates", "cluster", "report",
+        "apply-policy", "show", "clear",
+    ])
+    ap.add_argument("--input", required=True, help="corpus parquet path")
+    ap.add_argument("--workdir", required=True, help="checkpoint root")
+    ap.add_argument("--new-input", help="ingest: incoming parquet path")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(f"simages_{args.command}", cores=args.cores)
+    cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir)
+    store = CheckpointStore(spark, args.workdir)
+    docs = _load_docs(spark, args.input)
+
+    if args.command == "ingest":
+        new = _load_docs(spark, args.new_input)
+        added = ingest_op(new, docs, key="url" if "url" in docs.columns else "doc_id")
+        out = store.write("ingested", added)
+        print(json.dumps({"ingested_rows": out.count()}))
+    elif args.command == "signatures":
+        sig = store.get_or_compute(
+            "signatures", lambda: compute_signatures(docs, cfg)
+        )
+        print(json.dumps({"signatures": sig.count(), **store.metrics("signatures")}))
+    elif args.command == "candidates":
+        sig = store.read("signatures")
+        cand = store.get_or_compute(
+            "candidates", lambda: build_candidates(docs, sig, cfg)
+        )
+        metrics = lsh_metrics(sig, cfg).collect()[0].asDict()
+        print(json.dumps({"candidates": cand.count(), "lsh": metrics}))
+    elif args.command == "cluster":
+        sig = store.read("signatures")
+        cand = store.read("candidates")
+        edges = store.get_or_compute("edges", lambda: verify_pairs(cand, sig, cfg))
+        clusters = store.get_or_compute(
+            "clusters", lambda: connected_components(edges, cfg)
+        )
+        print(json.dumps({"edges": edges.count(), "clusters_rows": clusters.count()}))
+    elif args.command == "report":
+        clusters = store.read("clusters")
+        groups = duplicate_groups(clusters, docs)
+        store.write("groups", groups.withColumn("items", F.to_json("items")))
+        for row in groups.orderBy(F.col("total").desc()).limit(args.topk).collect():
+            print(json.dumps({"cluster_id": row["cluster_id"], "total": row["total"]}))
+    elif args.command == "apply-policy":
+        clusters = store.read("clusters")
+        policy = keep_first_policy(clusters, docs, cfg)
+        to_delete = policy.where(~F.col("is_keeper"))
+        store.write("to_delete", to_delete)
+        kept = docs.join(to_delete.select("doc_id"), "doc_id", "left_anti")
+        store.write("deduped_corpus", kept)
+        print(json.dumps({
+            "deleted": to_delete.count(),
+            "kept": kept.count(),
+            "total": docs.count(),
+        }))
+    elif args.command == "show":
+        docs.show(20, truncate=80)
+        print(json.dumps({"rows": docs.count()}))
+    elif args.command == "clear":
+        import shutil
+
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps({"cleared": args.workdir}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,20 +31,34 @@ def bruteforce_jaccard_pairs(
     cfg: DedupConfig | None = None,
     threshold: float | None = None,
 ) -> DataFrame:
-    """All (src<dst) pairs with exact shingle-Jaccard ≥ threshold."""
+    """All (src<dst) pairs with exact shingle-Jaccard ≥ threshold.
+
+    Expressed as a relational set-similarity join — explode the shingle
+    sets, equi-join on the shingle, count matches per pair — rather than a
+    crossJoin + array_intersect: identical results for any threshold > 0
+    (zero-intersection pairs have jaccard 0), one shuffle on the shingle
+    key instead of an O(N²) nested-loop join that re-evaluates the shingle
+    expressions per pair. Still inherently quadratic in the worst case
+    (every doc sharing one shingle); the production path is LSH.
+    """
     cfg = cfg or DedupConfig()
     tau = cfg.jaccard_threshold if threshold is None else threshold
     sets = shingle_sets(docs, cfg).where(F.size("shingles") > 0)
-    left = sets.select(F.col("doc_id").alias("src"), F.col("shingles").alias("s_src"))
-    right = sets.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("s_dst"))
-    return (
-        left.crossJoin(right)
+    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
+    tok = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    inter = (
+        tok.select(F.col("doc_id").alias("src"), "shingle")
+        .join(tok.select(F.col("doc_id").alias("dst"), "shingle"), "shingle")
         .where(F.col("src") < F.col("dst"))
-        .withColumn("n_inter", F.size(F.array_intersect("s_src", "s_dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("na")), "src")
+        .join(sizes.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb")), "dst")
         .withColumn(
             "jaccard",
-            F.col("n_inter")
-            / (F.size("s_src") + F.size("s_dst") - F.col("n_inter")).cast("double"),
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"),
         )
         .where(F.col("jaccard") >= tau)
         .select("src", "dst", "jaccard")

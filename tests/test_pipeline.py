@@ -7,41 +7,34 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from simages_spark.config import DedupConfig
-from simages_spark.operators.bruteforce import bruteforce_jaccard_pairs
 from simages_spark.operators.groups import duplicate_groups, keep_first_policy
 from simages_spark.pipeline import find_duplicates, top_pairs
 
 CFG = DedupConfig()
 
 
-def _pair_set(df):
-    return {(r["src"], r["dst"]) for r in df.select("src", "dst").collect()}
+def _pairs(rows):
+    return {(r["src"], r["dst"]) for r in rows}
 
 
-def test_recall_vs_bruteforce_oracle(spark, docs_sf001):
+def test_recall_vs_bruteforce_oracle(dedup_sf001, oracle_edges_sf001):
     """Dup-pair recall ≥ 0.99 at tau=0.5 (BASELINE.json north_star)."""
-    truth = _pair_set(bruteforce_jaccard_pairs(docs_sf001, CFG))
+    edges, _ = dedup_sf001
+    truth = _pairs(oracle_edges_sf001)
     assert truth, "oracle found no pairs — fixture assumption broken"
-    result = find_duplicates(docs_sf001, CFG)
-    got = _pair_set(result.edges)
+    got = _pairs(edges)
     recall = len(got & truth) / len(truth)
     assert recall >= 0.99, f"recall {recall} ({len(got & truth)}/{len(truth)})"
     # precision is exact by construction (verified edges)
     assert got <= truth, f"false positives: {got - truth}"
 
 
-def test_verified_jaccard_matches_oracle_values(spark, docs_sf001):
-    truth = {
-        (r["src"], r["dst"]): r["jaccard"]
-        for r in bruteforce_jaccard_pairs(docs_sf001, CFG).collect()
-    }
-    got = {
-        (r["src"], r["dst"]): r["jaccard"]
-        for r in find_duplicates(docs_sf001, CFG).edges.collect()
-    }
-    for pair, j in got.items():
+def test_verified_jaccard_matches_oracle_values(dedup_sf001, oracle_edges_sf001):
+    edges, _ = dedup_sf001
+    truth = {(r["src"], r["dst"]): r["jaccard"] for r in oracle_edges_sf001}
+    for r in edges:
         # hashed-shingle Jaccard == string-shingle Jaccard (no collisions)
-        assert abs(j - truth[pair]) < 1e-12
+        assert abs(r["jaccard"] - truth[(r["src"], r["dst"])]) < 1e-12
 
 
 def _union_find_components(pairs):
@@ -61,17 +54,14 @@ def _union_find_components(pairs):
     return {n: find(n) for n in parent}
 
 
-def test_clusters_match_oracle_components(spark, docs_sf001):
+def test_clusters_match_oracle_components(dedup_sf001, oracle_edges_sf001):
     """Golden cluster membership: Spark large/small-star CC over the
     pipeline's edges equals union-find over the exact-oracle edges
     (analog of the reference's exact group-count assertions,
     reference: src/simages/duplicate_images/tests/test.py:171-203)."""
-    truth_edges = _pair_set(bruteforce_jaccard_pairs(docs_sf001, CFG))
-    expected = _union_find_components(truth_edges)
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in find_duplicates(docs_sf001, CFG).clusters.collect()
-    }
+    _, clusters = dedup_sf001
+    expected = _union_find_components(_pairs(oracle_edges_sf001))
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters}
     assert got == expected
 
 
@@ -82,20 +72,20 @@ def test_top_pairs_contract(spark, docs_sf0001):
     assert js == sorted(js, reverse=True)
 
 
-def test_pipeline_deterministic_across_parallelism(spark, docs_sf001):
-    e1 = _pair_set(find_duplicates(docs_sf001.repartition(2), CFG).edges)
-    e2 = _pair_set(find_duplicates(docs_sf001.repartition(17), CFG).edges)
-    assert e1 == e2
+def test_pipeline_deterministic_across_parallelism(spark, docs_sf001, dedup_sf001):
+    edges, _ = dedup_sf001
+    e2 = _pairs(find_duplicates(docs_sf001.repartition(17), CFG).edges.collect())
+    assert _pairs(edges) == e2
 
 
 def test_checkpoint_resume(spark, docs_sf0001, tmp_path):
     cfg = DedupConfig(checkpoint_dir=str(tmp_path / "ckpt"))
     r1 = find_duplicates(docs_sf0001, cfg)
-    edges1 = _pair_set(r1.edges)
+    edges1 = _pairs(r1.edges.collect())
     clusters1 = {(r["doc_id"], r["cluster_id"]) for r in r1.clusters.collect()}
     # resume: stages exist → read back, identical output
     r2 = find_duplicates(docs_sf0001, cfg)
-    assert _pair_set(r2.edges) == edges1
+    assert _pairs(r2.edges.collect()) == edges1
     assert {(r["doc_id"], r["cluster_id"]) for r in r2.clusters.collect()} == clusters1
     store_files = list((tmp_path / "ckpt").glob("*.meta.json"))
     assert {f.name for f in store_files} >= {
@@ -103,14 +93,15 @@ def test_checkpoint_resume(spark, docs_sf0001, tmp_path):
     }
 
 
-def test_groups_and_policy(spark, docs_sf001):
-    res = find_duplicates(docs_sf001, CFG)
-    groups = duplicate_groups(res.clusters, docs_sf001).collect()
+def test_groups_and_policy(spark, docs_sf001, dedup_sf001):
+    _, cluster_rows = dedup_sf001
+    clusters = spark.createDataFrame(cluster_rows)
+    groups = duplicate_groups(clusters, docs_sf001).collect()
     assert groups
     for g in groups:
         assert g["total"] > 1
         assert len(g["items"]) == g["total"]
-    policy = keep_first_policy(res.clusters, docs_sf001, CFG)
+    policy = keep_first_policy(clusters, docs_sf001, CFG)
     per_cluster = (
         policy.groupBy("cluster_id")
         .agg(
