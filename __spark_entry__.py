@@ -186,7 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # ANN over embeddings (hyperplane-LSH bucketed, exact re-rank)
         "ann_cosine_pairs": lambda spark, sf: ann_cosine_pairs(
-            _emb(spark, sf), threshold=0.95, dim=64, bits=8
+            _emb(spark, sf), threshold=0.5, dim=64, bands=16, bits=8
         ),
     }
 

@@ -21,9 +21,14 @@ def duplicate_groups(clusters: DataFrame, docs: DataFrame) -> DataFrame:
     deterministic keeper rank so items[0] is the keeper, mirroring the
     Mongo `$push` order contract (reference: src/simages/duplicate_finder.py:264-272).
     """
-    member_cols = [c for c in docs.columns if c != "doc_id"]
+    # keeper-rank columns lead the struct so sort_array orders members by
+    # (warc_ts, doc_id) — no duplicate fields (ambiguous-reference error)
+    lead = ["warc_ts"] if "warc_ts" in docs.columns else []
+    member_cols = [c for c in docs.columns if c != "doc_id" and c not in lead]
     joined = clusters.join(docs, "doc_id")
-    item = F.struct(*_keeper_rank_cols(docs), F.col("doc_id"), *[F.col(c) for c in member_cols])
+    item = F.struct(
+        *[F.col(c) for c in lead], F.col("doc_id"), *[F.col(c) for c in member_cols]
+    )
     return (
         joined.groupBy("cluster_id")
         .agg(
@@ -32,16 +37,6 @@ def duplicate_groups(clusters: DataFrame, docs: DataFrame) -> DataFrame:
         )
         .where(F.col("total") > 1)
     )
-
-
-def _keeper_rank_cols(docs: DataFrame) -> list:
-    """Deterministic keeper ordering: min warc_ts (when present) then min
-    doc_id/url — replaces the reference's insertion-order accident
-    (reference: src/simages/duplicate_finder.py:403-409)."""
-    cols = []
-    if "warc_ts" in docs.columns:
-        cols.append(F.col("warc_ts"))
-    return cols
 
 
 def same_time_filter(groups: DataFrame, ts_field: str = "warc_ts") -> DataFrame:

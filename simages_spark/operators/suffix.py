@@ -38,11 +38,10 @@ def _anchor_positions(data: bytes, window: int, stride: int) -> np.ndarray:
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     # polynomial rolling hash of k-grams, vectorized via cumulative trick:
     # h[i] = sum_{j<k} arr[i+j] * B^(k-1-j)  (mod 2^64)
-    B = np.uint64(1099511628211)
-    powers = np.empty(_K, dtype=np.uint64)
-    powers[_K - 1] = np.uint64(1)
-    for j in range(_K - 2, -1, -1):
-        powers[j] = powers[j + 1] * B
+    B = 1099511628211
+    powers = np.array(
+        [pow(B, _K - 1 - j, 2**64) for j in range(_K)], dtype=np.uint64
+    )
     m = n - _K + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(_K):

@@ -77,14 +77,19 @@ def find_duplicates(
             "signatures", lambda: build_signatures(docs, cfg)
         )
     else:
-        signatures = build_signatures(docs, cfg)
+        # signatures feed 4 consumers (bands, simhash, verify×2): without a
+        # checkpoint the Arrow UDF would re-run per consumer — persist once
+        # (disk-spillable; the Iceberg/parquet checkpoint is the cluster-
+        # scale equivalent, reference analog: extractor.py:179-189 cache)
+        signatures = build_signatures(docs, cfg).persist()
 
     candidates = build_candidates(docs, signatures, cfg, use_simhash)
 
     def _edges() -> DataFrame:
         return verify_pairs(candidates, signatures, cfg)
 
-    edges = store.get_or_compute("edges", _edges) if store else _edges()
+    # edges feed CC (iterative) and the caller — persist when not stored
+    edges = store.get_or_compute("edges", _edges) if store else _edges().persist()
 
     def _clusters() -> DataFrame:
         return connected_components(edges, cfg)

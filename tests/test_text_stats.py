@@ -56,21 +56,36 @@ def test_bruteforce_cosine(spark):
     assert (topk[0]["src"], topk[0]["dst"]) == (1, 2)
 
 
-def test_ann_lsh_recall_on_testdata(spark):
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
+def test_ann_lsh_recall_on_planted_vectors(spark):
+    """Planted near-dup vectors (cosine ≥ 0.95): banded hyperplane LSH +
+    exact re-rank must recover them; exact re-rank ⇒ no false positives."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    dim = 32
+    rows = []
+    vid = 0
+    for g in range(20):
+        base = rng.standard_normal(dim)
+        near = base + 0.05 * rng.standard_normal(dim)  # cosine ≈ 0.999
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in near]))
+        vid += 2
+    for _ in range(60):  # unrelated noise vectors
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     exact = {
-        (r["src"], r["dst"])
-        for r in bruteforce_cosine_pairs(emb, 0.95).collect()
+        (r["src"], r["dst"]) for r in bruteforce_cosine_pairs(emb, 0.95).collect()
     }
     approx = {
         (r["src"], r["dst"])
-        for r in ann_cosine_pairs(emb, 0.95, dim, bits=8).collect()
+        for r in ann_cosine_pairs(emb, 0.95, dim, bands=16, bits=8).collect()
     }
     assert approx <= exact  # exact re-rank ⇒ no false positives
-    if exact:
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.8, f"ANN recall {recall}"
+    assert len(exact) >= 20
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.95, f"ANN recall {recall}"
 
 
 def test_sniff_magic():
