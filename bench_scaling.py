@@ -21,12 +21,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "60000"))
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
 
 
 def measure(cores: int) -> dict:
     from simages_spark.config import DedupConfig
-    from simages_spark.pipeline import find_duplicates
+    from simages_spark.functions.signatures import compute_signatures
+    from simages_spark.operators.connected_components import connected_components
+    from simages_spark.pipeline import build_candidates
+    from simages_spark.operators.verify import verify_pairs
     from simages_spark.session import get_spark
     from simages_spark.sources.corpus import generate_pages, mint_doc_ids
 
@@ -38,14 +41,38 @@ def measure(cores: int) -> dict:
         .persist()
     )
     n = docs.count()  # materialize input so we time the pipeline, not gen
+
+    stages: dict[str, float] = {}
     t0 = time.time()
-    result = find_duplicates(docs, cfg)
-    n_clusters = result.clusters.count()
+
+    t = time.time()
+    sig = compute_signatures(docs, cfg).persist()
+    sig.count()
+    stages["signatures"] = round(time.time() - t, 2)
+
+    t = time.time()
+    cand = build_candidates(docs, sig, cfg).persist()
+    n_cand = cand.count()
+    stages["candidates"] = round(time.time() - t, 2)
+
+    t = time.time()
+    edges = verify_pairs(cand, sig, cfg).persist()
+    n_edges = edges.count()
+    stages["verify"] = round(time.time() - t, 2)
+
+    t = time.time()
+    clusters = connected_components(edges, cfg)
+    n_cluster_rows = clusters.count()
+    stages["cc"] = round(time.time() - t, 2)
+
     elapsed = time.time() - t0
     out = {
         "cores": cores,
         "n_docs": n,
-        "n_clusters": n_clusters,
+        "n_candidates": n_cand,
+        "n_edges": n_edges,
+        "n_cluster_rows": n_cluster_rows,
+        "stages": stages,
         "elapsed_sec": round(elapsed, 2),
         "docs_per_sec": round(n / elapsed, 2),
     }
@@ -63,8 +90,14 @@ def main() -> None:
 
     results = {}
     for cores in (8, 32):
+        # taskset pins the whole JVM (GC, shuffle, python workers) to N
+        # CPUs — otherwise local[8] borrows all 32 machine cores for its
+        # auxiliary thread pools and the comparison under-reports scaling
+        cmd = [sys.executable, __file__, "--cores", str(cores)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, __file__, "--cores", str(cores)],
+            cmd,
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -83,8 +116,8 @@ def main() -> None:
         "throughput_local8_docs_per_sec": t8,
         "throughput_local32_docs_per_sec": t32,
         "scaling_efficiency_8_to_32": round(eff, 3),
-        "clusters_equal_across_levels": results[8]["n_clusters"]
-        == results[32]["n_clusters"],
+        "clusters_equal_across_levels": results[8]["n_cluster_rows"]
+        == results[32]["n_cluster_rows"],
     }
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)

@@ -1,0 +1,97 @@
+"""Bucket → candidate-pair expansion (shared by LSH / SimHash / exact).
+
+One shuffle instead of three: rather than self-joining the exploded
+bucket table (shuffle both sides + bucket-count join), group each bucket
+once, collect its (deduped, sorted) member array, and expand pairs with
+pure JVM array expressions — `transform` over the array with an indexed
+lambda emits (ids[i], ids[j>i]) structs, so src<dst ordering falls out of
+the sort. Output volume is identical; shuffle volume drops ~3× and the
+sort-merge passes disappear.
+
+Skew (north_rule): buckets above `cap` expand quadratically — members are
+salt-split *inside the expression* (filter by xxhash64(member) % nsalt,
+pairs only within a salt class). Bounded recall loss on pathological
+buckets, never silent: pair with `lsh_metrics`/`suffix_metrics` which
+report how many buckets exceeded the cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _pairs_of(arr: Column) -> Column:
+    """array<T> (sorted) → array<struct<a:T, b:T>> of all i<j pairs."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.size(arr)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+def bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    member_col: Column | str,
+    cap: int = 200,
+    nsalt: int = 8,
+) -> DataFrame:
+    """(keys..., member) → distinct (a, b) pairs co-bucketed by the keys.
+
+    Member may be any orderable column (long, struct, ...). Buckets larger
+    than `cap` are salt-split; pairs form only within a salt class.
+    """
+    member = F.col(member_col) if isinstance(member_col, str) else member_col
+    grouped = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(member)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    salted = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nsalt - 1)),
+            lambda s: _pairs_of(
+                F.filter(
+                    F.col("ids"),
+                    lambda x: F.pmod(F.xxhash64(x), F.lit(nsalt)) == s,
+                )
+            ),
+        )
+    )
+    pairs = F.when(F.size("ids") <= cap, _pairs_of(F.col("ids"))).otherwise(salted)
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def bucket_star_edges(
+    df: DataFrame, key_cols: list[str], member_col: Column | str
+) -> DataFrame:
+    """(keys..., member) → star edges (min-member, other) per bucket.
+
+    For buckets whose members are *guaranteed identical* (e.g. grouped by
+    a full content hash) connectivity is all downstream CC needs — linear
+    edges instead of quadratic (a 1M-copy spam page yields 10^6 edges,
+    not 5·10^11).
+    """
+    member = F.col(member_col) if isinstance(member_col, str) else member_col
+    grouped = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(member)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    stars = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids")),
+        lambda y: F.struct(F.col("ids")[0].alias("a"), y.alias("b")),
+    )
+    return (
+        grouped.select(F.explode(stars).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )

@@ -27,17 +27,17 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def exact_dup_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Pair edges (src<dst, jaccard=1.0) between exact-identical docs.
+    """Star edges (src<dst, jaccard=1.0) connecting exact-identical docs.
 
-    Within-group pairing via a compact self-join on the hash; groups are
-    tiny by nature (true byte-duplicates), so no salting needed — AQE
-    skew-split covers pathological cases (e.g. empty-string floods).
+    Bucket members are *identical by construction*, so connectivity (star
+    to the min doc_id) is all downstream CC needs — linear in group size,
+    robust to pathological floods (a 10^6-copy spam page emits 10^6-1
+    edges, not C(10^6, 2)). One shuffle on the content hash.
     """
+    from simages_spark.operators.buckets import bucket_star_edges
+
     hashed = with_content_hash(docs, text_col).select("doc_id", "text_sha")
-    left = hashed.select(F.col("text_sha"), F.col("doc_id").alias("src"))
-    right = hashed.select(F.col("text_sha"), F.col("doc_id").alias("dst"))
-    return (
-        left.join(right, "text_sha")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst", F.lit(1.0).alias("jaccard"))
+    stars = bucket_star_edges(hashed, ["text_sha"], "doc_id")
+    return stars.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("jaccard")
     )

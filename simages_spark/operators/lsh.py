@@ -55,37 +55,23 @@ def candidate_pairs(
 ) -> DataFrame:
     """LSH candidate edges (src < dst), deduplicated across bands.
 
-    The self-join shuffles both sides on the bucket key; AQE's skew-join
-    splitting plus the explicit salt cap keep any single bucket from
-    dominating a task. At cluster scale the bucket-count aggregation is a
-    cheap map-side-combine pass over the exploded bands.
+    One shuffle on the bucket key (groupBy + in-expression pair expansion,
+    see operators/buckets.py) instead of a three-shuffle self-join; the
+    pair dedup across bands is the only other exchange. Oversized buckets
+    are salt-split inside the expression (bounded recall loss, surfaced by
+    `lsh_metrics` — never silent).
     """
     cfg = cfg or DedupConfig()
-    bk = band_keys(signatures, cfg)
+    from simages_spark.operators.buckets import bucket_pairs
 
-    counts = bk.groupBy("band", "band_key").agg(F.count("*").alias("bucket_n"))
-    # bucket_n == 1 → no pairs; drop before the join (the vast majority of
-    # buckets). AQE turns this into a broadcast join at runtime when the
-    # multi-doc bucket list is small; at 10^12-doc scale the shuffle join
-    # on the bucket key is the correct plan, so we stay declarative.
-    bk = bk.join(counts.where(F.col("bucket_n") > 1), ["band", "band_key"])
-    salted = bk.withColumn(
-        "salt",
-        F.when(
-            F.col("bucket_n") > cfg.max_bucket_size,
-            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.bucket_salt)),
-        ).otherwise(F.lit(0)),
+    pairs = bucket_pairs(
+        band_keys(signatures, cfg),
+        ["band", "band_key"],
+        "doc_id",
+        cap=cfg.max_bucket_size,
+        nsalt=cfg.bucket_salt,
     )
-    left = salted.select(
-        "band", "band_key", "salt", F.col("doc_id").alias("src")
-    )
-    right = salted.select(
-        "band", "band_key", "salt", F.col("doc_id").alias("dst")
-    )
-    pairs = left.join(right, ["band", "band_key", "salt"]).where(
-        F.col("src") < F.col("dst")
-    )
-    return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 
 
 def lsh_metrics(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:

@@ -43,22 +43,30 @@ def simhash_blocks(signatures: DataFrame, cfg: DedupConfig | None = None) -> Dat
 def simhash_candidates(
     signatures: DataFrame, cfg: DedupConfig | None = None
 ) -> DataFrame:
-    """Pairs (src < dst) with Hamming(simhash) ≤ cfg.simhash_max_hamming."""
+    """Pairs (src < dst) with Hamming(simhash) ≤ cfg.simhash_max_hamming.
+
+    Single-shuffle bucket expansion (operators/buckets.py) carrying
+    struct(doc_id, simhash) as the bucket member, so the exact Hamming
+    filter runs right on the expanded pair — no join back to signatures.
+    """
     cfg = cfg or DedupConfig()
-    blk = simhash_blocks(signatures, cfg)
-    left = blk.select(
-        "block", "block_val", F.col("doc_id").alias("src"), F.col("simhash").alias("sh_src")
+    from simages_spark.operators.buckets import bucket_pairs
+
+    blk = simhash_blocks(signatures, cfg).select(
+        "block",
+        "block_val",
+        F.struct(F.col("doc_id"), F.col("simhash")).alias("m"),
     )
-    right = blk.select(
-        "block", "block_val", F.col("doc_id").alias("dst"), F.col("simhash").alias("sh_dst")
-    )
+    pairs = bucket_pairs(blk, ["block", "block_val"], "m", cap=cfg.max_bucket_size, nsalt=cfg.bucket_salt)
     return (
-        left.join(right, ["block", "block_val"])
-        .where(F.col("src") < F.col("dst"))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sh_src").bitwiseXOR(F.col("sh_dst")))
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
         )
         .where(F.col("hamming") <= cfg.simhash_max_hamming)
-        .select("src", "dst", "hamming")
-        .dropDuplicates(["src", "dst"])
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            "hamming",
+        )
     )
