@@ -42,6 +42,20 @@ def measure(cores: int) -> dict:
     )
     n = docs.count()  # materialize input so we time the pipeline, not gen
 
+    # Warm-up pass on a small slice: the first execution of each operator
+    # JIT-compiles Spark's large generated methods (~40-150s per fresh JVM
+    # in this sandbox, independent of data size). A real cluster amortizes
+    # this over hours-long jobs; timing it here would measure the JIT, not
+    # the pipeline.
+    warm = docs.limit(5000).persist()
+    warm.count()
+    wsig = compute_signatures(warm, cfg).persist()
+    wcand = build_candidates(warm, wsig, cfg).persist()
+    wedges = verify_pairs(wcand, wsig, cfg).persist()
+    connected_components(wedges, cfg).count()
+    for df in (wedges, wcand, wsig, warm):
+        df.unpersist()
+
     stages: dict[str, float] = {}
     t0 = time.time()
 

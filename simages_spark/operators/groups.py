@@ -49,6 +49,28 @@ def same_time_filter(groups: DataFrame, ts_field: str = "warc_ts") -> DataFrame:
     )
 
 
+def pairwise_groups(edges: DataFrame) -> DataFrame:
+    """A3 debug view: one group per pair, distance attached to both members
+    (the reference's pre-clustering group construction,
+    reference: src/simages/duplicate_finder.py:158-186). Superseded by true
+    transitive clusters (A4); kept for parity/debugging."""
+    pair_id = F.xxhash64("src", "dst")
+    return edges.select(
+        pair_id.alias("group_id"),
+        F.array(
+            F.struct(F.col("src").alias("doc_id"), F.col("jaccard")),
+            F.struct(F.col("dst").alias("doc_id"), F.col("jaccard")),
+        ).alias("items"),
+    )
+
+
+def fetch_docs(clusters_or_ids: DataFrame, docs: DataFrame) -> DataFrame:
+    """M6 analog: map ids back to content (the reference decodes embeddings
+    back to images, reference: src/simages/extractor.py:546-587; for hash
+    signatures the inverse is a join back to the corpus)."""
+    return clusters_or_ids.join(docs, "doc_id")
+
+
 def keep_first_policy(
     clusters: DataFrame, docs: DataFrame, cfg: DedupConfig | None = None
 ) -> DataFrame:

@@ -7,6 +7,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    for cand in ("/dev/shm/spark-local", "/tmp/spark-local"):
+        try:
+            os.makedirs(cand, exist_ok=True)
+            return cand
+        except OSError:
+            continue
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "simages_spark",
     cores: int | None = None,
@@ -24,7 +34,32 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = driver-only: give the one JVM real memory (the box
+        # has 128 GiB); a small heap makes cache+execution churn/GC the
+        # bottleneck long before CPU
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # this sandbox's virtio disk has ~50ms file-metadata latency; the
+        # bypass shuffle writer opens R files per map task and spends 10×
+        # more time creating files than writing bytes. tmpfs local dir +
+        # the single-file sort writer remove the pathology. (On a real
+        # cluster leave local dirs on instance storage — this is a local-
+        # mode tuning, not an engine semantic.)
+        .config("spark.local.dir", _local_dir())
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # Firecracker-VM JVM tuning, each measured in this sandbox:
+        # -Xms == -Xmx: G1 otherwise uncommits/recommits heap regions and
+        #   every recommit page-faults through the slow host path (observed
+        #   9.5s young pauses with User=0.00s Sys=9.51s);
+        # capped GC threads: G1's default one-GC-thread-per-CPU serializes
+        #   pauses on stolen vCPUs (identical query 23-52s -> 0.7-3s);
+        # more C2 threads: first execution JIT-compiles Spark's large
+        #   generated methods, 2 compiler threads starve under 32 task
+        #   threads.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '24g')} "
+            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=6",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
