@@ -56,39 +56,58 @@ def measure(cores: int) -> dict:
     for df in (wedges, wcand, wsig, warm):
         df.unpersist()
 
-    stages: dict[str, float] = {}
-    t0 = time.time()
+    # 3 repetitions, best-of taken per run: the sandbox VM has 5-15% CPU
+    # steal with large run-to-run variance; min is the standard
+    # noise-robust estimator for "what the hardware can do".
+    reps = []
+    for _ in range(3):
+        stages: dict[str, float] = {}
+        t0 = time.time()
 
-    t = time.time()
-    sig = compute_signatures(docs, cfg).persist()
-    sig.count()
-    stages["signatures"] = round(time.time() - t, 2)
+        t = time.time()
+        sig = compute_signatures(docs, cfg).persist()
+        sig.count()
+        stages["signatures"] = round(time.time() - t, 2)
 
-    t = time.time()
-    cand = build_candidates(docs, sig, cfg).persist()
-    n_cand = cand.count()
-    stages["candidates"] = round(time.time() - t, 2)
+        t = time.time()
+        cand = build_candidates(docs, sig, cfg).persist()
+        n_cand = cand.count()
+        stages["candidates"] = round(time.time() - t, 2)
 
-    t = time.time()
-    edges = verify_pairs(cand, sig, cfg).persist()
-    n_edges = edges.count()
-    stages["verify"] = round(time.time() - t, 2)
+        t = time.time()
+        edges = verify_pairs(cand, sig, cfg).persist()
+        n_edges = edges.count()
+        stages["verify"] = round(time.time() - t, 2)
 
-    t = time.time()
-    clusters = connected_components(edges, cfg)
-    n_cluster_rows = clusters.count()
-    stages["cc"] = round(time.time() - t, 2)
+        t = time.time()
+        clusters = connected_components(edges, cfg)
+        n_cluster_rows = clusters.count()
+        stages["cc"] = round(time.time() - t, 2)
 
-    elapsed = time.time() - t0
+        elapsed = time.time() - t0
+        reps.append(
+            {
+                "stages": stages,
+                "elapsed_sec": round(elapsed, 2),
+                "counts": (n_cand, n_edges, n_cluster_rows),
+            }
+        )
+        for df in (edges, cand, sig):
+            df.unpersist()
+
+    assert len({r["counts"] for r in reps}) == 1, "nondeterministic output!"
+    best = min(reps, key=lambda r: r["elapsed_sec"])
+    n_cand, n_edges, n_cluster_rows = best["counts"]
     out = {
         "cores": cores,
         "n_docs": n,
         "n_candidates": n_cand,
         "n_edges": n_edges,
         "n_cluster_rows": n_cluster_rows,
-        "stages": stages,
-        "elapsed_sec": round(elapsed, 2),
-        "docs_per_sec": round(n / elapsed, 2),
+        "stages": best["stages"],
+        "elapsed_sec": best["elapsed_sec"],
+        "docs_per_sec": round(n / best["elapsed_sec"], 2),
+        "all_reps_sec": [r["elapsed_sec"] for r in reps],
     }
     spark.stop()
     return out
