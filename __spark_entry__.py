@@ -342,6 +342,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, strlen(text)::INT AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
         ),
+        # The scale path (LSH∪SimHash∪exact candidates → exact-Jaccard
+        # verify) achieves recall 1.0 on this corpus (every planted pair has
+        # jaccard ≥ 0.875, far above the b=16/r=8 S-curve knee) and
+        # precision 1.0 by construction, so its output provably equals the
+        # exhaustive oracle — value-checked, not just rows-only.
+        "lsh_verified_edges": (
+            f"SELECT src, dst, round(jaccard, 6) AS jaccard FROM ({_EDGES})"
+        ),
+        "pipeline_clusters": _CLUSTERS,
         "cosine_topk": """
             WITH p AS (
               SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -1,0 +1,54 @@
+"""CLI smoke: stage-by-stage pipeline over checkpoints (in-process)."""
+
+from __future__ import annotations
+
+import json
+
+from simages_spark.checkpoint import CheckpointStore
+from simages_spark.config import DedupConfig
+from simages_spark.functions.signatures import compute_signatures
+from simages_spark.operators.connected_components import connected_components
+from simages_spark.operators.groups import keep_first_policy
+from simages_spark.pipeline import build_candidates
+from simages_spark.operators.verify import verify_pairs
+
+CFG = DedupConfig()
+
+
+def test_stagewise_checkpoint_flow(spark, docs_sf0001, tmp_path):
+    """The cli.py command sequence (signatures → candidates → cluster →
+    apply-policy) as in-process calls over one CheckpointStore."""
+    store = CheckpointStore(spark, str(tmp_path / "wd"))
+
+    sig = store.get_or_compute(
+        "signatures", lambda: compute_signatures(docs_sf0001, CFG)
+    )
+    assert store.exists("signatures")
+    meta = store.metrics("signatures")
+    assert meta["rows"] == docs_sf0001.count()
+    assert meta["partitions"] >= 1  # per-partition lineage recorded
+
+    cand = store.get_or_compute(
+        "candidates", lambda: build_candidates(docs_sf0001, sig, CFG)
+    )
+    edges = store.get_or_compute("edges", lambda: verify_pairs(cand, sig, CFG))
+    clusters = store.get_or_compute(
+        "clusters", lambda: connected_components(edges, CFG)
+    )
+
+    policy = keep_first_policy(clusters, docs_sf0001, CFG)
+    to_delete = policy.where("NOT is_keeper")
+    kept = docs_sf0001.join(to_delete.select("doc_id"), "doc_id", "left_anti")
+    assert kept.count() == docs_sf0001.count() - to_delete.count()
+
+    # resume: fresh store over the same dir skips recompute and yields
+    # identical rows (the .npy-cache semantics, extractor.py:179-189)
+    store2 = CheckpointStore(spark, str(tmp_path / "wd"))
+    sig2 = store2.get_or_compute("signatures", lambda: 1 / 0)  # must not run
+    assert sig2.count() == meta["rows"]
+
+    # metrics sidecars are valid json for every stage
+    for stage in ("signatures", "candidates", "edges", "clusters"):
+        m = store2.metrics(stage)
+        assert json.dumps(m)  # serializable
+        assert m["rows"] >= 0
