@@ -71,7 +71,9 @@ def compute_signatures_pdf(
     simhashes: list[int] = []
     nshingles: list[int] = []
     hash_sets: list[np.ndarray] = []
-    for text in pdf["text"].astype(str):
+    # null text → empty doc (malformed-row tolerance, SURVEY.md §2.1 S3:
+    # drop-don't-fail); .astype(str) would stringify None to "None"
+    for text in pdf["text"].fillna(""):
         h = hash_shingles(shingle_strings(text, cfg.shingle_size))
         if h.size > cfg.max_shingles_per_doc:
             # bound per-doc payload; deterministic (smallest hashes kept).

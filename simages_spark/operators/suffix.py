@@ -99,7 +99,7 @@ def anchored_windows(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].astype(str)):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
                 pos, h1, h2 = _anchors_and_hashes(
                     text.encode("utf-8"), window, stride
                 )

@@ -71,6 +71,22 @@ def test_compute_signatures_df(spark, docs_sf0001):
         assert len(set(r["shingle_hashes"])) == len(r["shingle_hashes"])
 
 
+def test_null_and_empty_text_tolerated(spark):
+    """S3 malformed-row tolerance: null/empty text → empty signature row,
+    no crash, no pairing (reference skips corrupt files with a log,
+    extractor.py:114-136)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here ok")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compute_signatures(df, CFG).collect()}
+    assert len(rows) == 4
+    for d in (1, 2, 3):
+        assert rows[d]["num_shingles"] == 0
+        assert rows[d]["shingle_hashes"] == []
+    assert rows[4]["num_shingles"] == 1
+
+
 def test_signatures_stable_across_partitioning(spark, docs_sf0001):
     """Determinism vs parallelism — the parallel==serial contract
     (reference: src/simages/duplicate_images/tests/test.py:72-75)."""
