@@ -1,0 +1,51 @@
+"""Streaming incremental signature maintenance: new files → new
+signatures, exactly once, identical to the batch computation."""
+
+from __future__ import annotations
+
+import os
+
+from simages_spark.config import DedupConfig
+from simages_spark.functions.signatures import compute_signatures
+from simages_spark.streaming import stream_signatures
+
+CFG = DedupConfig()
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_signatures_incremental(spark, tmp_path):
+    inp = str(tmp_path / "incoming")
+    out = str(tmp_path / "signatures")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    _write_batch(spark, inp, [(1, "a b c d e f g", "en", "s", 13),
+                              (2, "h i j k l m n", "en", "s", 13)])
+    q = stream_signatures(spark, inp, out, ckpt, CFG)
+    q.awaitTermination()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+
+    # second drop: only the new file is processed (exactly-once per file —
+    # the streaming analog of the ingest anti-join, duplicate_finder.py:118-127)
+    _write_batch(spark, inp, [(3, "o p q r s t u", "en", "s", 13)])
+    q2 = stream_signatures(spark, inp, out, ckpt, CFG)
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3
+    assert {r["doc_id"] for r in got2.collect()} == {1, 2, 3}
+
+    # streamed signatures == batch signatures (same UDF, same values)
+    batch = {
+        r["doc_id"]: tuple(r["minhash"])
+        for r in compute_signatures(
+            spark.read.parquet(inp), CFG
+        ).collect()
+    }
+    streamed = {r["doc_id"]: tuple(r["minhash"]) for r in got2.collect()}
+    assert streamed == batch
