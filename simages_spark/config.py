@@ -19,7 +19,11 @@ class DedupConfig:
     lsh_bands: int = 16  # b
     lsh_rows: int = 8  # r  (b*r must equal num_perm)
     simhash_bits: int = 64
-    simhash_blocks: int = 4  # pigeonhole blocks for Hamming-ball join
+    # Hamming-ball join keys on every (blocks - max_hamming)-subset of
+    # pieces (Manku-style combination blocks): with 6 pieces and d=3 that
+    # is C(6,3)=20 keys/doc of ~32 bits — buckets stay near-singleton at
+    # any corpus size (16-bit single blocks go quadratic past ~10^5 docs)
+    simhash_blocks: int = 6  # pieces the 64-bit simhash is split into
     simhash_max_hamming: int = 3  # d: max Hamming distance for simhash edges
     seed: int = 42  # permutation seed; analog of torch seed
 
@@ -45,8 +49,11 @@ class DedupConfig:
                 f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
                 f"must equal num_perm ({self.num_perm})"
             )
-        if self.simhash_bits % self.simhash_blocks != 0:
-            raise ValueError("simhash_bits must be divisible by simhash_blocks")
+        if self.simhash_max_hamming >= self.simhash_blocks:
+            raise ValueError(
+                "simhash_max_hamming must be < simhash_blocks "
+                "(pigeonhole needs at least one unchanged piece subset)"
+            )
 
 
 DEFAULT_CONFIG = DedupConfig()

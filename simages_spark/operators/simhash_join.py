@@ -1,42 +1,63 @@
 """SimHash Hamming-ball candidate expansion (SURVEY.md §2.3 J1b, §4.2.3).
 
-Pigeonhole block join: split the 64-bit simhash into 4 blocks of 16 bits;
-two hashes within Hamming distance d ≤ 3 must agree on at least one block,
-so an equi-join on (block_id, block_value) finds all of them. The exact
-Hamming filter afterwards is `bit_count(xor)` — pure JVM.
+Combination-block join (the Manku/Jain/Das Sarma near-duplicate design,
+public WWW'07 paper): split the 64-bit simhash into `m` pieces; a pair
+within Hamming distance d differs in at most d pieces, so at least m-d
+pieces match — key each doc on every (m-d)-subset of pieces and equi-join
+on the concatenated subset value. With m=6, d=3 that is C(6,3)=20 keys
+per doc, each ~32 bits wide.
 
-This is the cheap complement to MinHash-LSH: it catches high-overlap docs
-whose shingle *multiset* barely changed (bit flips in the majority vote),
-at the cost of one narrow shuffle on 16-bit block keys.
+Why not 4×16-bit single blocks: a 16-bit key space saturates around 10^5
+docs — random collisions make the block join quadratic (measured: 302 s
+candidates at 10^6 docs, dominated by ~27M birthday-collision pairs).
+Wider combination keys keep buckets near-singleton at any corpus size,
+at the cost of 5× more (narrow) key rows — the scan-vs-shuffle trade
+that actually survives 10^12 docs.
+
+The exact `bit_count(xor) ≤ d` filter on expanded pairs keeps precision
+exact regardless of key design.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame, functions as F
 
 from simages_spark.config import DedupConfig
 
 
-def simhash_blocks(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def _piece_widths(bits: int, m: int) -> list[int]:
+    base, extra = divmod(bits, m)
+    return [base + (1 if i < extra else 0) for i in range(m)]
+
+
+def _piece_exprs(col, widths: list[int]):
+    out, shift = [], 0
+    for w in widths:
+        out.append(
+            F.shiftrightunsigned(col, shift).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        shift += w
+    return out
+
+
+def simhash_keys(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """(doc_id, simhash, key) — one row per (m-d)-subset of pieces; `key`
+    packs the combo index and the concatenated piece values into a long."""
     cfg = cfg or DedupConfig()
-    width = cfg.simhash_bits // cfg.simhash_blocks
-    mask = (1 << width) - 1
-    blocks = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("block"),
-                (
-                    F.shiftrightunsigned(F.col("simhash"), j * width)
-                    .bitwiseAND(F.lit(mask))
-                ).alias("block_val"),
-            )
-            for j in range(cfg.simhash_blocks)
-        ]
-    )
+    m, d = cfg.simhash_blocks, cfg.simhash_max_hamming
+    widths = _piece_widths(cfg.simhash_bits, m)
+    pieces = _piece_exprs(F.col("simhash"), widths)
+    keys = []
+    for combo_id, combo in enumerate(combinations(range(m), m - d)):
+        key = F.lit(combo_id).cast("long")
+        for idx in combo:
+            key = F.shiftleft(key, widths[idx]) + pieces[idx]
+        keys.append(key)
     return (
         signatures.where(F.col("num_shingles") > 0)
-        .select("doc_id", "simhash", F.explode(blocks).alias("b"))
-        .select("doc_id", "simhash", "b.block", "b.block_val")
+        .select("doc_id", "simhash", F.explode(F.array(*keys)).alias("key"))
     )
 
 
@@ -52,12 +73,12 @@ def simhash_candidates(
     cfg = cfg or DedupConfig()
     from simages_spark.operators.buckets import bucket_pairs
 
-    blk = simhash_blocks(signatures, cfg).select(
-        "block",
-        "block_val",
-        F.struct(F.col("doc_id"), F.col("simhash")).alias("m"),
+    keyed = simhash_keys(signatures, cfg).select(
+        "key", F.struct(F.col("doc_id"), F.col("simhash")).alias("m")
     )
-    pairs = bucket_pairs(blk, ["block", "block_val"], "m", cap=cfg.max_bucket_size, nsalt=cfg.bucket_salt)
+    pairs = bucket_pairs(
+        keyed, ["key"], "m", cap=cfg.max_bucket_size, nsalt=cfg.bucket_salt
+    )
     return (
         pairs.withColumn(
             "hamming",
@@ -69,4 +90,5 @@ def simhash_candidates(
             F.col("b.doc_id").alias("dst"),
             "hamming",
         )
+        .dropDuplicates(["src", "dst"])
     )

@@ -61,6 +61,26 @@ def test_simhash_candidates_for_exact_copy(spark):
     assert got == {(1, 2)}
 
 
+def test_simhash_hamming_guarantee(spark):
+    """Pigeonhole: any pair within Hamming d=3 MUST be a candidate,
+    regardless of which bits differ; pairs beyond d must be filtered."""
+    base = 0x123456789ABCDEF0
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),                      # 3 low bits
+        (3, base ^ (1 << 63) ^ (1 << 31) ^ 1),  # 3 spread bits
+        (4, base ^ ((1 << 4) - 1)),             # 4 bits → excluded
+        (5, base ^ ((1 << 60) | (1 << 61))),    # 2 high bits
+    ]
+    sig = spark.createDataFrame(
+        [(d, s - (1 << 64) if s >= 1 << 63 else s, 5) for d, s in rows],
+        "doc_id long, simhash long, num_shingles int",
+    )
+    got = {(r["src"], r["dst"]) for r in simhash_candidates(sig, CFG).collect()}
+    assert {(1, 2), (1, 3), (1, 5)} <= got
+    assert not any({a, b} == {1, 4} for a, b in got)
+
+
 def test_exact_dup_layer(spark):
     docs = _docs(spark, [(1, "same text"), (2, "same text"), (3, "other")])
     groups = exact_dup_groups(docs).collect()
