@@ -17,14 +17,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from simages_spark.config import DedupConfig
 from simages_spark.functions.multimodal import media_metadata
-from simages_spark.functions.signatures import compute_signatures
+from simages_spark.functions.signatures import compute_signatures, perm_params_ints
 from simages_spark.functions.text_stats import doc_fingerprint, quality_columns
-from simages_spark.operators.ann import ann_cosine_pairs, cosine_topk
+from simages_spark.operators.ann import (
+    ann_cosine_pairs,
+    cosine_topk,
+    hyperplane_matrix,
+)
 from simages_spark.operators.bruteforce import bruteforce_jaccard_pairs, shingle_sets
 from simages_spark.operators.connected_components import connected_components
 from simages_spark.operators.exact import with_content_hash
-from simages_spark.operators.groups import keep_first_policy
+from simages_spark.operators.groups import (
+    duplicate_groups,
+    keep_first_policy,
+    paginate_groups,
+    patch_annotations,
+    same_time_filter,
+)
 from simages_spark.operators.joins import enrich_pairs
+from simages_spark.operators.lsh import candidate_pairs
+from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
 from simages_spark.operators.simhash_join import simhash_candidates
 from simages_spark.operators.suffix import substring_dup_pairs
 from simages_spark.operators.verify import quantile_pairs
@@ -32,6 +44,19 @@ from simages_spark.pipeline import find_duplicates
 
 CFG = DedupConfig()
 TAU = CFG.jaccard_threshold
+
+
+def _docs_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic warc_ts surrogate for the A2 filter:
+    ts = doc_id % 3 (three 'capture times'), null for doc_id % 7 == 0
+    (the reference's "Time unknown" sentinel)."""
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "warc_ts",
+        F.when(d.doc_id % 7 == 0, F.lit(None).cast("long")).otherwise(
+            d.doc_id % 3
+        ),
+    )
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,16 +183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "n_bytes", "sha256"),
         # embedding brute-force cosine top-k (the closely.solve form)
         "cosine_topk": lambda spark, sf: cosine_topk(_emb(spark, sf), 50),
-        # ---------------- non-SQL-expressible (rows-only checks) ----------
-        # M4 — MinHash/SimHash signatures (numpy UDF; hash family not
-        # reproducible in SQL — shingle counts value-checked separately)
+        # M4 — MinHash/SimHash signatures. Portable by construction
+        # (60-bit md5-prefix shingle hashes, functions/shingles.py), so
+        # the SimHash VALUES are value-checked against DuckDB.
         "minhash_signatures": lambda spark, sf: compute_signatures(
             _docs(spark, sf), CFG
         ).select("doc_id", "num_shingles", "simhash"),
-        # J1 — LSH banding candidates
-        "lsh_candidates": lambda spark, sf: find_duplicates(
-            _docs(spark, sf), CFG
-        ).candidates,
+        # J1 — LSH banding candidates (pure banding path; the oracle
+        # replays the 128 multiply-shift permutations + 16-band agreement)
+        "lsh_candidates": lambda spark, sf: candidate_pairs(
+            compute_signatures(_docs(spark, sf), CFG), CFG
+        ),
         # J1+J2 — full scale-path pipeline: LSH → verify
         "lsh_verified_edges": lambda spark, sf: find_duplicates(
             _docs(spark, sf), CFG
@@ -176,17 +202,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters": lambda spark, sf: find_duplicates(
             _docs(spark, sf), CFG
         ).clusters,
-        # J1b — SimHash Hamming-ball pairs
+        # J1b — SimHash Hamming-ball pairs (exactly Hamming ≤ d by the
+        # Manku pigeonhole; oracle = all-pairs bit_count over the
+        # portable simhash values)
         "simhash_pairs": lambda spark, sf: simhash_candidates(
             compute_signatures(_docs(spark, sf), CFG), CFG
         ),
-        # J7b — substring-level duplicates (suffix pass)
+        # J7b — substring-level duplicates (winnowing + extension verify:
+        # EXACT "shares a ≥64-char run" semantics, oracle = brute-force
+        # 64-char window self-join)
         "substring_pairs": lambda spark, sf: substring_dup_pairs(
             _docs(spark, sf), min_len=64
-        ),
-        # ANN over embeddings (hyperplane-LSH bucketed, exact re-rank)
+        ).select("src", "dst"),
+        # ANN over embeddings (hyperplane-LSH bucketed, exact re-rank).
+        # Quantized Rademacher sketches are exact integer math, so the
+        # oracle replays the bucketing and the output value-checks even
+        # where banding recall < 1.
         "ann_cosine_pairs": lambda spark, sf: ann_cosine_pairs(
-            _emb(spark, sf), threshold=0.5, dim=64, bands=16, bits=8
+            _emb(spark, sf), threshold=0.4, dim=64, bands=16, bits=8
+        ),
+        # A2 — same-time group filter over a warc_ts surrogate (null =
+        # "Time unknown" sentinel ⇒ keep)
+        "same_time_groups": lambda spark, sf: same_time_filter(
+            duplicate_groups(
+                connected_components(_exact_edges(spark, sf), CFG),
+                _docs_with_ts(spark, sf),
+            )
+        ).select("cluster_id", "total"),
+        # O3 — report pagination (reference chunks 25/page; 5/page here so
+        # sf0.01 exercises multiple pages)
+        "paged_groups": lambda spark, sf: paginate_groups(
+            connected_components(_exact_edges(spark, sf), CFG)
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("total"))
+            .where(F.col("total") > 1),
+            page_size=5,
+        ).select("cluster_id", "total", "rank", "page"),
+        # annotation-patch analog: annotations of deleted dups re-point at
+        # the cluster keeper
+        "patched_annotations": lambda spark, sf: patch_annotations(
+            _docs(spark, sf)
+            .where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", F.col("lang").alias("label")),
+            keep_first_policy(
+                connected_components(_exact_edges(spark, sf), CFG),
+                _docs(spark, sf),
+                CFG,
+            ),
+        ),
+        # A7 support — covariance entries (the SQL-checkable half of PCA)
+        "embedding_covariance": lambda spark, sf: embedding_covariance(
+            _emb(spark, sf), dim=64
+        ),
+        # ---------------- non-SQL-expressible (rows-only check) ----------
+        # A7 — PCA 2-D projection (eigendecomposition is not expressible
+        # in SQL; value-checked against numpy in tests/test_pca.py)
+        "pca_projection_2d": lambda spark, sf: pca_projection_2d(
+            _emb(spark, sf), dim=64
         ),
     }
 
@@ -240,6 +312,90 @@ _CLUSTERS = f"""
   SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
 """
 
+# ---- portable signature fragments (mirror functions/shingles.py +
+# functions/signatures.py bit-for-bit; see tests/test_shingles.py
+# test_hash_portability_python_jvm_duckdb) ----
+_CAP = CFG.max_shingles_per_doc
+# 60-bit md5-prefix hash per shingle, distinct + sorted + capped
+_HASHED = f"""
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform(
+      shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+    )))[1:{_CAP}] AS hashes
+  FROM ({_SHINGLES})
+"""
+_HX = f"SELECT doc_id, unnest(hashes) AS x FROM ({_HASHED})"
+
+# SimHash: per-bit majority vote over the hash set, packed little-endian
+_SIM_BITCNT = ", ".join(
+    f"sum((x >> {b}) & 1) AS c{b}" for b in range(CFG.simhash_bits)
+)
+_SIM_PACK = " + ".join(
+    f"(CASE WHEN 2*c{b} >= n THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+    for b in range(CFG.simhash_bits)
+)
+_SIMHASH = f"""
+  SELECT doc_id, n, ({_SIM_PACK}) AS simhash FROM (
+    SELECT doc_id, count(*) AS n, {_SIM_BITCNT} FROM ({_HX}) GROUP BY doc_id
+  )
+"""
+
+# MinHash: 128 multiply-shift permutations (a*x+b mod 2^64), min per doc
+_PERM_A, _PERM_B = perm_params_ints(CFG)
+_MINS = "SELECT doc_id, " + ", ".join(
+    f"min(({a}::HUGEINT * x + {b}) % 18446744073709551616) AS p{i}"
+    for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+) + f" FROM ({_HX}) GROUP BY doc_id"
+# LSH banding: candidate iff all 8 slots of at least one band agree
+_BAND_MATCH = " OR ".join(
+    "("
+    + " AND ".join(
+        f"a.p{j * CFG.lsh_rows + r} = b.p{j * CFG.lsh_rows + r}"
+        for r in range(CFG.lsh_rows)
+    )
+    + ")"
+    for j in range(CFG.lsh_bands)
+)
+
+# ---- portable ANN fragments (mirror operators/ann.py) ----
+# one list literal PER HYPERPLANE, materialized exactly once each in a
+# 128-row weights relation (inlining one giant flat literal inside the
+# per-element comprehension makes DuckDB rebuild it per element — O(n²))
+_WROWS = " UNION ALL ".join(
+    "SELECT {j} AS j, [{w}] AS wrow".format(
+        j=j + 1, w=",".join(str(int(v)) for v in row)
+    )
+    for j, row in enumerate(hyperplane_matrix(16, 8, 64, seed=42))
+)
+_QVEC = (
+    "SELECT vec_id, [CAST(floor(embedding[i]*1000000 + 0.5) AS BIGINT) "
+    "for i in range(1, 65)] AS qv FROM embeddings"
+)
+_ANN_BITS = f"""
+  SELECT vec_id, j,
+    CASE WHEN list_sum([qv[i] * wrow[i] for i in range(1, 65)]) >= 0
+         THEN 1 ELSE 0 END AS bit
+  FROM ({_QVEC}), ({_WROWS}) w
+"""
+_ANN_SKETCH = f"""
+  SELECT vec_id, (j-1) // 8 AS band, sum(bit << ((j-1) % 8)) AS band_val
+  FROM ({_ANN_BITS}) GROUP BY vec_id, band
+"""
+_COS = """
+    list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+              for i in range(1, 65)])
+    / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                      for i in range(1, 65)]))
+     * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                      for i in range(1, 65)])))
+"""
+
+# ---- A2 surrogate timestamps + keeper policy fragments ----
+_TS = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL "
+    "ELSE doc_id % 3 END AS ts FROM documents"
+)
+
 _STOP = {
     "en": "['the','a','of','and','to','in','is','it','that','for']",
     "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
@@ -256,8 +412,11 @@ _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_stats": (
+            # CAST: DuckDB sum(BIGINT) is HUGEINT and would hash as a
+            # float; Spark F.sum(long) is LONG — align the types
             "SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs, "
-            "sum(n_chars) AS total_chars, round(avg(n_chars), 6) AS avg_chars "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "round(avg(n_chars), 6) AS avg_chars "
             "FROM documents"
         ),
         "exact_dup_hash": (
@@ -351,6 +510,101 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT src, dst, round(jaccard, 6) AS jaccard FROM ({_EDGES})"
         ),
         "pipeline_clusters": _CLUSTERS,
+        # portable-signature oracles: replay MinHash/SimHash bit-for-bit
+        "minhash_signatures": f"""
+            SELECT h.doc_id, len(h.hashes) AS num_shingles,
+                   coalesce(s.simhash, 0) AS simhash
+            FROM ({_HASHED}) h LEFT JOIN ({_SIMHASH}) s USING (doc_id)
+        """,
+        "simhash_pairs": f"""
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM ({_SIMHASH}) a JOIN ({_SIMHASH}) b ON a.doc_id < b.doc_id
+            WHERE a.n > 0 AND b.n > 0
+              AND bit_count(xor(a.simhash, b.simhash))
+                  <= {CFG.simhash_max_hamming}
+        """,
+        "lsh_candidates": f"""
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM ({_MINS}) a JOIN ({_MINS}) b
+              ON a.doc_id < b.doc_id AND ({_BAND_MATCH})
+        """,
+        # brute-force 64-char window self-join == "shares a ≥64-char run"
+        "substring_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest([substr(text, i, 64)
+                             for i in range(1, length(text) - 62)]) AS win
+              FROM documents WHERE length(text) >= 64
+            )
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        # replayed hyperplane buckets + exact cosine re-rank
+        "ann_cosine_pairs": f"""
+            WITH cand AS (
+              SELECT DISTINCT s1.vec_id AS src, s2.vec_id AS dst
+              FROM ({_ANN_SKETCH}) s1 JOIN ({_ANN_SKETCH}) s2
+                ON s1.band = s2.band AND s1.band_val = s2.band_val
+               AND s1.vec_id < s2.vec_id
+            )
+            SELECT c.src, c.dst, round({_COS}, 6) AS cosine
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.src
+            JOIN embeddings b ON b.vec_id = c.dst
+            WHERE round({_COS}, 6) >= 0.4
+        """,
+        "same_time_groups": f"""
+            SELECT cluster_id, total FROM (
+              SELECT c.cluster_id, count(*) AS total,
+                     count(DISTINCT t.ts) AS n_known,
+                     sum(CASE WHEN t.ts IS NULL THEN 1 ELSE 0 END) AS n_null
+              FROM ({_CLUSTERS}) c JOIN ({_TS}) t USING (doc_id)
+              GROUP BY c.cluster_id HAVING count(*) > 1
+            ) WHERE n_null > 0 OR n_known <= 1
+        """,
+        "paged_groups": f"""
+            SELECT cluster_id, total, rank,
+                   CAST(floor((rank - 1) / 5.0) AS BIGINT) + 1 AS page
+            FROM (
+              SELECT cluster_id, total,
+                     row_number() OVER (ORDER BY total DESC, cluster_id) AS rank
+              FROM (
+                SELECT cluster_id, count(*) AS total FROM ({_CLUSTERS})
+                GROUP BY cluster_id HAVING count(*) > 1
+              )
+            )
+        """,
+        "patched_annotations": f"""
+            WITH keep AS (
+              SELECT doc_id, cluster_id,
+                     doc_id = min(doc_id) OVER (PARTITION BY cluster_id)
+                       AS is_keeper
+              FROM ({_CLUSTERS})
+            ),
+            keepers AS (
+              SELECT cluster_id, doc_id AS keeper_id FROM keep WHERE is_keeper
+            ),
+            remap AS (
+              SELECT k.doc_id, kp.keeper_id
+              FROM keep k JOIN keepers kp USING (cluster_id)
+            ),
+            ann AS (
+              SELECT doc_id, lang AS label FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT DISTINCT coalesce(r.keeper_id, a.doc_id) AS doc_id, a.label
+            FROM ann a LEFT JOIN remap r USING (doc_id)
+        """,
+        "embedding_covariance": """
+            SELECT i, j, round(covar_pop(a, b), 6) AS cov FROM (
+              SELECT ti.i, tj.j,
+                     e.embedding[ti.i]::DOUBLE AS a,
+                     e.embedding[tj.j]::DOUBLE AS b
+              FROM embeddings e, range(1, 65) ti(i), range(1, 65) tj(j)
+              WHERE tj.j >= ti.i
+            ) GROUP BY i, j
+        """,
         "cosine_topk": """
             WITH p AS (
               SELECT a.vec_id AS src, b.vec_id AS dst,

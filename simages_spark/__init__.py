@@ -4,7 +4,7 @@ A from-scratch rebuild of the *capabilities* of JustinShenk/simages
 (`/root/reference`) on Apache Spark: the reference's autoencoder-embedding
 O(N^2) similarity search (reference: src/simages/extractor.py:321-342) is
 re-expressed as a web-scale text dedup pipeline — 5-gram shingling,
-128-perm MinHash + LSH banding (b=16, r=8), 64-bit SimHash with
+128-perm MinHash + LSH banding (b=16, r=8), 60-bit SimHash with
 Hamming-ball expansion, exact-Jaccard verification, and
 large-star/small-star connected components — all declarative DataFrame
 programs plus vectorized Arrow UDFs (no per-row Python).

@@ -2,17 +2,25 @@
 (reference: src/simages/extractor.py:179-189: reload ⇒ skip recompute).
 
 Each pipeline stage can persist its output table and be skipped on resume.
-Backend is Iceberg when the runtime has the catalog jars (ACID MERGE /
-DELETE per SURVEY.md §1.3), else plain parquet — the interface is the
-same, so Iceberg is a config switch, not a code path.
+Backend is plain parquet in this build (the sandbox ships no lakehouse
+catalog jars; on a cluster with an ACID table format the same
+write/read/meta interface maps onto catalog tables — but that path is
+NOT implemented here, deliberately: no capability claims the code can't
+demonstrate).
 
 Lineage (north_rule): every checkpointed row carries `part_id`
 (producing partition) and `stage_run_id`, so a resumed run can attribute
 every row to the task that wrote it.
+
+Staleness guard: `get_or_compute` takes an optional `fingerprint`
+(e.g. a hash of the DedupConfig fields). It is stored in the stage meta;
+a rerun under a different config invalidates and recomputes the stage
+instead of silently returning results computed under the old knobs.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -20,14 +28,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog"
-        )
-        return True
-    except Exception:
-        return False
+def config_fingerprint(cfg) -> str:
+    """Stable hash of a dataclass-like config's public fields."""
+    items = sorted(
+        (k, repr(v)) for k, v in vars(cfg).items() if not k.startswith("_")
+    )
+    return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
 
 
 class CheckpointStore:
@@ -45,7 +51,13 @@ class CheckpointStore:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))
 
-    def write(self, name: str, df: DataFrame, run_id: str | None = None) -> DataFrame:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        run_id: str | None = None,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
         run_id = run_id or f"run-{int(time.time())}"
         with_lineage = df.withColumn("part_id", F.spark_partition_id()).withColumn(
             "stage_run_id", F.lit(run_id)
@@ -55,6 +67,7 @@ class CheckpointStore:
         meta = {
             "name": name,
             "run_id": run_id,
+            "fingerprint": fingerprint,
             "rows": out.count(),
             "partitions": out.select("part_id").distinct().count(),
             "written_at_unix": time.time(),
@@ -65,6 +78,12 @@ class CheckpointStore:
         return out.drop("part_id", "stage_run_id")
 
     def read(self, name: str) -> DataFrame:
+        if not self.exists(name):
+            raise FileNotFoundError(
+                f"checkpoint stage '{name}' not found under {self.root} — "
+                f"run the producing stage first (e.g. `signatures` before "
+                f"`candidates` before `cluster`)"
+            )
         return self.spark.read.parquet(self._path(name)).drop(
             "part_id", "stage_run_id"
         )
@@ -73,8 +92,18 @@ class CheckpointStore:
         with open(self._meta_path(name)) as f:
             return json.load(f)
 
-    def get_or_compute(self, name: str, compute, run_id: str | None = None) -> DataFrame:
-        """Stage-skip on resume — the .npy-reload semantics."""
+    def get_or_compute(
+        self,
+        name: str,
+        compute,
+        run_id: str | None = None,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
+        """Stage-skip on resume — the .npy-reload semantics. A stored
+        stage whose fingerprint differs from the requested one is STALE
+        (written under other config knobs) and is recomputed."""
         if self.exists(name):
-            return self.read(name)
-        return self.write(name, compute(), run_id=run_id)
+            stored = self.metrics(name).get("fingerprint")
+            if fingerprint is None or stored == fingerprint:
+                return self.read(name)
+        return self.write(name, compute(), run_id=run_id, fingerprint=fingerprint)

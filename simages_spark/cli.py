@@ -18,11 +18,15 @@ import sys
 
 from pyspark.sql import functions as F
 
-from simages_spark.checkpoint import CheckpointStore
+from simages_spark.checkpoint import CheckpointStore, config_fingerprint
 from simages_spark.config import DedupConfig
-from simages_spark.functions.signatures import compute_signatures
+from simages_spark.functions.signatures import compute_signatures, signature_metrics
 from simages_spark.operators.connected_components import connected_components
-from simages_spark.operators.groups import duplicate_groups, keep_first_policy
+from simages_spark.operators.groups import (
+    duplicate_groups,
+    keep_first_policy,
+    paginate_groups,
+)
 from simages_spark.operators.lsh import lsh_metrics
 from simages_spark.pipeline import build_candidates
 from simages_spark.operators.verify import verify_pairs
@@ -48,11 +52,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--page", type=int, default=1, help="report: 1-based page")
+    ap.add_argument("--page-size", type=int, default=25)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(f"simages_{args.command}", cores=args.cores)
     cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir)
+    fp = config_fingerprint(cfg)
     store = CheckpointStore(spark, args.workdir)
     docs = _load_docs(spark, args.input)
 
@@ -63,30 +70,45 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"ingested_rows": out.count()}))
     elif args.command == "signatures":
         sig = store.get_or_compute(
-            "signatures", lambda: compute_signatures(docs, cfg)
+            "signatures", lambda: compute_signatures(docs, cfg), fingerprint=fp
         )
-        print(json.dumps({"signatures": sig.count(), **store.metrics("signatures")}))
+        health = signature_metrics(sig).collect()[0].asDict()
+        print(json.dumps({"signatures": sig.count(), **health,
+                          **store.metrics("signatures")}))
     elif args.command == "candidates":
         sig = store.read("signatures")
         cand = store.get_or_compute(
-            "candidates", lambda: build_candidates(docs, sig, cfg)
+            "candidates", lambda: build_candidates(docs, sig, cfg), fingerprint=fp
         )
         metrics = lsh_metrics(sig, cfg).collect()[0].asDict()
         print(json.dumps({"candidates": cand.count(), "lsh": metrics}))
     elif args.command == "cluster":
         sig = store.read("signatures")
         cand = store.read("candidates")
-        edges = store.get_or_compute("edges", lambda: verify_pairs(cand, sig, cfg))
+        edges = store.get_or_compute(
+            "edges", lambda: verify_pairs(cand, sig, cfg), fingerprint=fp
+        )
         clusters = store.get_or_compute(
-            "clusters", lambda: connected_components(edges, cfg)
+            "clusters", lambda: connected_components(edges, cfg), fingerprint=fp
         )
         print(json.dumps({"edges": edges.count(), "clusters_rows": clusters.count()}))
     elif args.command == "report":
         clusters = store.read("clusters")
         groups = duplicate_groups(clusters, docs)
         store.write("groups", groups.withColumn("items", F.to_json("items")))
-        for row in groups.orderBy(F.col("total").desc()).limit(args.topk).collect():
-            print(json.dumps({"cluster_id": row["cluster_id"], "total": row["total"]}))
+        # paged report — reference chunks 25 groups/page
+        # (duplicate_images/duplicate_finder.py:324-329)
+        paged = paginate_groups(groups, args.page_size)
+        for row in (
+            paged.where(F.col("page") == args.page)
+            .orderBy("rank")
+            .limit(args.topk)
+            .collect()
+        ):
+            print(json.dumps({
+                "cluster_id": row["cluster_id"], "total": row["total"],
+                "rank": row["rank"], "page": row["page"],
+            }))
     elif args.command == "apply-policy":
         clusters = store.read("clusters")
         policy = keep_first_policy(clusters, docs, cfg)

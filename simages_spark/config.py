@@ -2,7 +2,8 @@
 
 Mirrors the reference's knob surface (reference: src/simages/extractor.py:45-95,
 src/simages/main.py:52-133) re-targeted at the MinHash/SimHash config fixed by
-BASELINE.json: 5-gram shingles, 128 permutations, LSH b=16 r=8, 64-bit SimHash.
+BASELINE.json: 5-gram shingles, 128 permutations, LSH b=16 r=8, SimHash
+(60 effective bits — the portable shingle-hash width, see simhash_bits).
 """
 
 from __future__ import annotations
@@ -18,10 +19,13 @@ class DedupConfig:
     num_perm: int = 128  # MinHash permutations
     lsh_bands: int = 16  # b
     lsh_rows: int = 8  # r  (b*r must equal num_perm)
-    simhash_bits: int = 64
+    # 60, not 64: shingle hashes are 60-bit md5 prefixes (portable to the
+    # DuckDB oracle, see functions/shingles.py), so SimHash has 60
+    # meaningful bits and the packed value stays non-negative in a long
+    simhash_bits: int = 60
     # Hamming-ball join keys on every (blocks - max_hamming)-subset of
     # pieces (Manku-style combination blocks): with 6 pieces and d=3 that
-    # is C(6,3)=20 keys/doc of ~32 bits — buckets stay near-singleton at
+    # is C(6,3)=20 keys/doc of ~30 bits — buckets stay near-singleton at
     # any corpus size (16-bit single blocks go quadratic past ~10^5 docs)
     simhash_blocks: int = 6  # pieces the 64-bit simhash is split into
     simhash_max_hamming: int = 3  # d: max Hamming distance for simhash edges

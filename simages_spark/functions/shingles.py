@@ -16,18 +16,24 @@ Everything downstream (MinHash, SimHash, exact Jaccard) consumes this set.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _WS = re.compile(r"\s+")
 
-# pandas' stable siphash key (default of pd.util.hash_array); we rely on it
-# being fixed so signatures are deterministic across runs and processes.
-_HASH_KEY = "0123456789123456"
+# Shingle hash = first 15 hex chars of md5 → a 60-bit non-negative int.
+# Portable by construction: Spark (md5/conv/cast — all JVM codegen), the
+# numpy path, and DuckDB (('0x' || substr(md5(s),1,15))::BIGINT) produce
+# bit-identical values, so every signature derived from these hashes is
+# value-checkable cross-engine. 60 bits keep every intermediate (and the
+# packed SimHash) inside a signed 64-bit int — no ANSI overflow, no sign
+# gymnastics in the oracle SQL.
+HASH_HEX_CHARS = 15
+HASH_BITS = 4 * HASH_HEX_CHARS
 
 
 def tokenize(text: str) -> list[str]:
@@ -48,18 +54,25 @@ def shingle_strings(text: str, k: int = 5) -> list[str]:
     return list(dict.fromkeys(grams))
 
 
-def hash_shingles(shingles: list[str]) -> np.ndarray:
-    """Hash a shingle list to distinct uint64s (vectorized siphash via pandas).
+def hash_shingle(s: str) -> int:
+    """One 60-bit portable shingle hash (see HASH_HEX_CHARS note above)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HASH_HEX_CHARS], 16)
 
-    C-speed and deterministic (fixed hash key); the 64-bit space makes
-    collisions negligible at any realistic per-doc shingle count.
+
+def hash_shingles(shingles: list[str]) -> np.ndarray:
+    """Hash a shingle list to distinct sorted uint64s (60-bit md5 prefix).
+
+    Must stay bit-identical to `shingle_hash_col` (the JVM fast path) and
+    the DuckDB oracle; used by tests and small Python-side fixtures. The
+    60-bit space keeps within-doc collisions negligible at any realistic
+    per-doc shingle count.
     """
     if not shingles:
         return np.empty(0, dtype=np.uint64)
-    arr = pd.util.hash_array(
-        np.asarray(shingles, dtype=object), hash_key=_HASH_KEY, categorize=False
+    vals = np.fromiter(
+        (hash_shingle(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
-    return np.unique(arr.astype(np.uint64))
+    return np.unique(vals)
 
 
 def tokens_col(text: Column) -> Column:
@@ -84,6 +97,31 @@ def shingles_col(text: Column, k: int = 5) -> Column:
         .when(F.size(toks) > 0, whole)
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingle_hash_col(text: Column, k: int = 5) -> Column:
+    """JVM-side distinct sorted 60-bit shingle hashes as array<long>.
+
+    Whole-stage-codegen md5 over the shingle strings — the hot path stays
+    on the JVM; the signature UDF consumes these arrays so no string
+    hashing happens in Python. Sorted ascending so a deterministic
+    smallest-k cap (`slice`) is well-defined everywhere.
+    """
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles_col(text, k),
+                lambda s: F.conv(
+                    F.substring(F.md5(s), 1, HASH_HEX_CHARS), 16, 10
+                ).cast("long"),
+            )
+        )
+    )
+
+
+DUCKDB_HASH_SQL = (
+    "('0x' || substr(md5({s}), 1, " + str(HASH_HEX_CHARS) + "))::BIGINT"
+)
 
 
 def duckdb_shingles_sql(text_expr: str = "text", k: int = 5) -> str:

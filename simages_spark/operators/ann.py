@@ -7,14 +7,23 @@ cosine metric reference: src/simages/main.py:222). Two paths:
 * brute-force exact cosine — JVM `zip_with`/`aggregate` dot products,
   sequential left-fold so the float math is bit-identical to the DuckDB
   oracle's list_sum. Quadratic: baseline + oracle only.
-* random-hyperplane LSH — the scale path: 16-bit sign-sketch buckets,
-  candidates within a bucket, exact re-rank. Hyperplanes are seeded and
-  computed driver-side (z×bits floats — tiny), shipped as literals.
+* random-hyperplane LSH — the scale path: 8-bit-per-band sign-sketch
+  buckets, candidates within a bucket, exact re-rank. Hyperplanes are
+  Rademacher ±1 vectors derived from md5 (driver-side, deterministic),
+  applied to embeddings quantized to integers (floor(v·10⁶ + 0.5)) —
+  the sign computation is exact integer math, so the DuckDB oracle can
+  replicate the buckets (and hence the full ANN output) bit-for-bit.
+  Sketching runs as an Arrow `mapInPandas` matrix multiply (one BLAS
+  GEMM per batch), never per-row Python.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -60,6 +69,31 @@ def cosine_topk(
     return pairs.orderBy(F.col("cosine").desc(), "src", "dst").limit(k)
 
 
+QUANT_SCALE = 1_000_000  # embedding quantization for exact sign math
+
+
+def hyperplane_matrix(
+    bands: int, bits_per_band: int, dim: int, seed: int = 42
+) -> np.ndarray:
+    """(bands*bits, dim) Rademacher ±1 hyperplanes from md5 — deterministic
+    and trivially portable (the same ints are inlined into the oracle SQL).
+    Rademacher projections preserve the sign-sketch LSH property (the
+    collision probability stays monotone in the angle)."""
+    rows = bands * bits_per_band
+    w = np.empty((rows, dim), dtype=np.int64)
+    for j in range(rows):
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+            w[j, i] = 1 if int(h[0], 16) % 2 == 0 else -1
+    return w
+
+
+def quantize(vec: np.ndarray) -> np.ndarray:
+    """floor(v·10⁶ + 0.5) as int64 — identical in numpy and SQL, unlike
+    round() (numpy is half-even, SQL is half-away)."""
+    return np.floor(vec.astype(np.float64) * QUANT_SCALE + 0.5).astype(np.int64)
+
+
 def hyperplane_sketches(
     embeddings: DataFrame,
     dim: int,
@@ -71,29 +105,36 @@ def hyperplane_sketches(
 ) -> DataFrame:
     """(vec_id, band, band_val) — OR-amplified random-hyperplane LSH.
 
-    Each band is the sign pattern of `bits_per_band` seeded hyperplanes
+    Each band is the sign pattern of `bits_per_band` hyperplanes
     (sketch-agreement prob per bit: 1-θ/π); a pair is a candidate if ANY
-    band matches — the cosine analog of MinHash banding. The hyperplane
-    matrix is a driver-side constant folded into the plan; per-row work is
-    bands×bits JVM dot products (codegen), no Python.
+    band matches — the cosine analog of MinHash banding. Per-batch work
+    is one integer GEMM (quantized embeddings × ±1 matrix) in the Arrow
+    UDF; signs are exact integer comparisons, reproducible anywhere.
     """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bands * bits_per_band, dim))
-    band_structs = []
-    for b in range(bands):
-        val = F.lit(0).cast("long")
-        for i in range(bits_per_band):
-            plane = F.array(*[F.lit(float(x)) for x in planes[b * bits_per_band + i]])
-            bit = (_dot(F.col(vec_col), plane) >= 0).cast("long")
-            val = val + F.shiftleft(bit, i)
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), val.alias("band_val"))
-        )
-    return (
-        embeddings.select(
-            F.col(id_col).alias("vec_id"), F.explode(F.array(*band_structs)).alias("s")
-        )
-        .select("vec_id", "s.band", "s.band_val")
+    w = hyperplane_matrix(bands, bits_per_band, dim, seed)
+    shifts = np.arange(bits_per_band, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([quantize(np.asarray(v)) for v in pdf[vec_col]])
+            bits = (q @ w.T >= 0).astype(np.int64)  # (n, bands*bits)
+            vals = (bits.reshape(len(pdf), bands, bits_per_band) << shifts).sum(
+                axis=2
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "band_vals": list(vals),
+                }
+            )
+
+    sketched = embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema="vec_id long, band_vals array<long>"
+    )
+    return sketched.select(
+        "vec_id", F.posexplode("band_vals").alias("band", "band_val")
     )
 
 

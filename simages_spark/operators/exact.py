@@ -36,7 +36,14 @@ def exact_dup_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from simages_spark.operators.buckets import bucket_star_edges
 
-    hashed = with_content_hash(docs, text_col).select("doc_id", "text_sha")
+    # null/whitespace-only docs have no shingle set: they are not
+    # meaningful duplicates of each other and would reach the verify
+    # join with 0/0 jaccard — exclude them here (tokenize-empty ⟺
+    # trim-empty), mirroring the oracle's len(shingles) > 0 filter
+    nonempty = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    hashed = with_content_hash(nonempty, text_col).select("doc_id", "text_sha")
     stars = bucket_star_edges(hashed, ["text_sha"], "doc_id")
     return stars.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("jaccard")

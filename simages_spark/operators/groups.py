@@ -40,13 +40,16 @@ def duplicate_groups(clusters: DataFrame, docs: DataFrame) -> DataFrame:
 
 
 def same_time_filter(groups: DataFrame, ts_field: str = "warc_ts") -> DataFrame:
-    """A2: keep a group only if all members share the timestamp, with the
-    unknown sentinel passing (reference: src/simages/duplicate_finder.py:243-252
-    — `"Time unknown"` ⇒ keep). Null warc_ts plays the sentinel role."""
+    """A2: keep a group if all members share one known timestamp, OR if
+    ANY member's timestamp is unknown — the reference's "better safe than
+    sorry" sentinel rule (reference: src/simages/duplicate_finder.py:243-252:
+    `"Time unknown"` present ⇒ keep, even when the known timestamps
+    disagree). Null `ts_field` plays the sentinel role: a group with two
+    distinct timestamps plus a null member is KEPT."""
     ts_vals = F.expr(f"array_distinct(transform(items, x -> x.{ts_field}))")
-    return groups.where(
-        (F.size(F.filter(ts_vals, lambda t: t.isNotNull())) <= 1)
-    )
+    has_unknown = F.exists(ts_vals, lambda t: t.isNull())
+    n_known = F.size(F.filter(ts_vals, lambda t: t.isNotNull()))
+    return groups.where(has_unknown | (n_known <= 1))
 
 
 def pairwise_groups(edges: DataFrame) -> DataFrame:
@@ -69,6 +72,50 @@ def fetch_docs(clusters_or_ids: DataFrame, docs: DataFrame) -> DataFrame:
     back to images, reference: src/simages/extractor.py:546-587; for hash
     signatures the inverse is a join back to the corpus)."""
     return clusters_or_ids.join(docs, "doc_id")
+
+
+def paginate_groups(
+    groups: DataFrame, page_size: int = 25, order_col: str = "total"
+) -> DataFrame:
+    """O3: deterministic pagination of the duplicate-group report — the
+    reference chunks its HTML report 25 groups/page (reference:
+    src/simages/duplicate_images/duplicate_finder.py:324-329). Adds
+    (rank, page) via one row_number window; page is 1-based.
+
+    Scale note: a single global window is fine here because the report is
+    over GROUPS (≪ corpus size); it is not applied to row-level data.
+    """
+    w = Window.orderBy(F.col(order_col).desc(), F.col("cluster_id").asc())
+    rank = F.row_number().over(w)
+    return groups.withColumn("rank", rank).withColumn(
+        "page", ((F.col("rank") - 1) / page_size).cast("long") + 1
+    )
+
+
+def patch_annotations(
+    annotations: DataFrame, policy: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Annotation-patch analog (reference `update_annotations`,
+    src/simages/duplicate_images/duplicate_finder.py:198-226: when dups are
+    deleted, their annotations are re-pointed at the kept copy). Spark
+    form: join annotations to the keep-first policy, remap each annotated
+    doc to its cluster keeper, pass through docs outside any cluster,
+    and dedup identical (keeper, annotation) rows. One broadcast-able
+    join on the policy table (clusters ≪ corpus).
+    """
+    keepers = (
+        policy.where(F.col("is_keeper"))
+        .select("cluster_id", F.col(id_col).alias("keeper_id"))
+    )
+    remap = policy.select(id_col, "cluster_id").join(keepers, "cluster_id")
+    other_cols = [c for c in annotations.columns if c != id_col]
+    return (
+        annotations.join(remap, id_col, "left")
+        .select(
+            F.coalesce("keeper_id", F.col(id_col)).alias(id_col), *other_cols
+        )
+        .dropDuplicates()
+    )
 
 
 def keep_first_policy(

@@ -1,7 +1,7 @@
 """SimHash Hamming-ball candidate expansion (SURVEY.md §2.3 J1b, §4.2.3).
 
 Combination-block join (the Manku/Jain/Das Sarma near-duplicate design,
-public WWW'07 paper): split the 64-bit simhash into `m` pieces; a pair
+public WWW'07 paper): split the `cfg.simhash_bits`-bit simhash into `m` pieces; a pair
 within Hamming distance d differs in at most d pieces, so at least m-d
 pieces match — key each doc on every (m-d)-subset of pieces and equi-join
 on the concatenated subset value. With m=6, d=3 that is C(6,3)=20 keys

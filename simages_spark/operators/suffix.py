@@ -2,21 +2,37 @@
 
 Finds pairs of docs sharing a verbatim run of ≥ `min_len` characters —
 the "distributed suffix array" pass of the north rule, implemented as its
-shuffle-friendly equivalent: content-defined anchoring. Comparing
-suffixes truncated at L chars is equivalent to comparing all L-char
-windows; instead of emitting every window (O(total chars) rows), windows
-are emitted only at *content-defined anchor positions* (rolling-hash of a
-k-gram ≡ 0 mod `stride`). Identical substrings produce identical anchor
-positions in both docs, so any shared run of length ≥ L + k + a few
-strides shares an anchored window with probability ≈ 1-(1-1/stride)^(L-k).
+shuffle-friendly equivalent with EXACT semantics:
 
-Per-partition work is fully vectorized numpy (mapInPandas): window hashes
-come from two independent 64-bit polynomial rolling hashes (128 bits
-total — collisions negligible), computed from prefix sums with uint64
-wraparound arithmetic — no per-window Python, no cryptographic hashing.
-The cross-doc step is one groupBy/self-join on (h1, h2); keys are
-uniform, so no skew beyond genuinely viral substrings (capped + surfaced
-in metrics).
+  1. **Winnowing anchors** (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public):
+     per doc, k-gram rolling hashes over the codepoint array; in every
+     window of `w` consecutive k-gram positions select the (leftmost)
+     minimum. Selection is content-defined, so inside any run shared by
+     two docs the SAME relative positions are selected in both.
+  2. **Anchored windows**: at each selected position emit the 128-bit
+     polynomial hash of the next `win` characters. Guarantee: a shared
+     run of length L ≥ win + w - 1 = `min_len` contains a winnowing
+     window fully inside it in both docs, whose min position m ≤ w-1 has
+     m + win ≤ L — so both docs emit the identical window hash. No
+     false negatives.
+  3. **Extension verify**: candidate matches carry aligned positions
+     (pos_src, pos_dst); the match is extended left/right over the two
+     texts (vectorized numpy compare) to the maximal shared run through
+     that alignment. Pairs are kept iff some extension reaches
+     `min_len` — no false positives either. Exactness makes the
+     operator value-checkable against a brute-force windows self-join
+     oracle at small SF.
+
+Per-partition work is fully vectorized numpy (mapInPandas): window
+hashes come from two independent 64-bit polynomial rolling hashes
+(128 bits total — collisions negligible) computed from prefix sums with
+uint64 wraparound arithmetic — no per-window Python, no cryptographic
+hashing. The cross-doc step is one groupBy on (h1, h2) with in-expression
+pair expansion; keys are uniform, so no skew beyond genuinely viral
+substrings (capped + surfaced in metrics). Scan→shuffle amplification is
+~2/(w+1) anchor rows per character (≈0.06 at defaults) — an order of
+magnitude below a fixed-stride scheme at equal recall, and the anchor
+stage is localCheckpointed so its UDF executes exactly once.
 """
 
 from __future__ import annotations
@@ -32,6 +48,18 @@ ANCHOR_SCHEMA = "doc_id long, pos int, h1 long, h2 long"
 _K = 16  # rolling k-gram size for anchor selection
 _B1 = np.uint64(1099511628211)  # FNV prime (odd → invertible mod 2^64)
 _B2 = np.uint64(6364136223846793005)  # PCG multiplier (odd)
+
+
+def winnow_params(min_len: int) -> tuple[int, int]:
+    """(w, win): winnowing window and emitted-window length for a given
+    min_len, chosen so win + w - 1 == min_len (the detection guarantee)
+    with win ≥ _K and anchor density ≈ 2/(w+1)."""
+    w = max(2, (min_len + 1) // 2)
+    win = min_len - w + 1
+    if win < _K:
+        win = _K
+        w = min_len - win + 1
+    return w, win
 
 
 def _pow_mod64(base: int, n: int) -> np.ndarray:
@@ -56,7 +84,7 @@ def _substring_hashes(arr: np.ndarray, starts: np.ndarray, w: int, base: np.uint
     """Polynomial hash of arr[s:s+w] for each s, via prefix sums mod 2^64.
 
     Q[k] = sum_{t<k} arr[t] * Binv^t ; hash(s) = (Q[s+w] - Q[s]) * B^s
-    — a function of the substring bytes only.
+    — a function of the substring codepoints only.
     """
     n = len(arr)
     binv = np.uint64(_inv_mod64(int(base)))
@@ -67,42 +95,64 @@ def _substring_hashes(arr: np.ndarray, starts: np.ndarray, w: int, base: np.uint
     return (q[starts + w] - q[starts]) * b_pows[starts]
 
 
-def _anchors_and_hashes(
-    data: bytes, window: int, stride: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(positions, h1, h2) for content-defined anchored windows."""
-    n = len(data)
-    if n < window:
-        empty = np.empty(0, dtype=np.int64)
-        return empty, empty, empty
-    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    # k-gram anchor hash: polynomial over the k bytes at each position
+def _codepoints(text: str) -> np.ndarray:
+    """Char-exact (not byte) array — semantics match SQL substr/length."""
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+
+
+def _kgram_hashes(arr: np.ndarray) -> np.ndarray:
+    """Polynomial hash of the k-gram at every position (vectorized)."""
+    n = len(arr)
+    m = n - _K + 1
     powers = np.array(
         [pow(int(_B1), _K - 1 - j, 2**64) for j in range(_K)], dtype=np.uint64
     )
-    m = n - _K + 1
     h = np.zeros(m, dtype=np.uint64)
     for j in range(_K):
         h += arr[j : j + m] * powers[j]
-    starts = np.nonzero(h % np.uint64(stride) == 0)[0]
-    starts = starts[starts <= n - window]
-    h1 = _substring_hashes(arr, starts, window, _B1)
-    h2 = _substring_hashes(arr, starts, window, _B2)
-    return starts.astype(np.int64), h1.view(np.int64), h2.view(np.int64)
+    return h
 
 
-def anchored_windows(
-    docs: DataFrame, window: int = 64, stride: int = 4
-) -> DataFrame:
-    """(doc_id, pos, h1, h2) at content-defined anchors."""
+def _winnow_select(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing: leftmost-min position of every w-window of hashes.
+
+    Leftmost tie-break is content-defined (depends only on hash values and
+    relative offsets), so two docs sharing a run select the same relative
+    positions wherever the window sits fully inside the run.
+    """
+    if len(h) < w:
+        return np.empty(0, dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    return np.unique(sw.argmin(axis=1) + np.arange(len(h) - w + 1, dtype=np.int64))
+
+
+def _anchors_and_hashes(
+    text: str, min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(positions, h1, h2) of winnowing-anchored `win`-char windows."""
+    empty = np.empty(0, dtype=np.int64)
+    n = len(text)
+    if n < min_len:  # cannot contain a min_len-char run
+        return empty, empty, empty
+    w, win = winnow_params(min_len)
+    arr = _codepoints(text)
+    starts = _winnow_select(_kgram_hashes(arr), w)
+    starts = starts[starts <= n - win]
+    h1 = _substring_hashes(arr, starts, win, _B1)
+    h2 = _substring_hashes(arr, starts, win, _B2)
+    return starts, h1.view(np.int64), h2.view(np.int64)
+
+
+def anchored_windows(docs: DataFrame, min_len: int = 64) -> DataFrame:
+    """(doc_id, pos, h1, h2) at winnowing-selected anchors."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                pos, h1, h2 = _anchors_and_hashes(
-                    text.encode("utf-8"), window, stride
-                )
+                pos, h1, h2 = _anchors_and_hashes(text, min_len)
                 if len(pos):
                     frames.append(
                         pd.DataFrame(
@@ -130,50 +180,122 @@ def anchored_windows(
     return docs.select("doc_id", "text").mapInPandas(run, schema=ANCHOR_SCHEMA)
 
 
+def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFrame:
+    """Extend each aligned anchor match to its maximal shared run and keep
+    (src, dst) pairs whose best run reaches min_len. Texts are joined in
+    for candidate docs only — a tiny fraction of the corpus."""
+    _, win = winnow_params(min_len)
+    texts = docs.select("doc_id", "text")
+    joined = (
+        matches.join(
+            texts.select(
+                F.col("doc_id").alias("src"), F.col("text").alias("text_src")
+            ),
+            "src",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("dst"), F.col("text").alias("text_dst")
+            ),
+            "dst",
+        )
+        .select("src", "dst", "pos_src", "pos_dst", "text_src", "text_dst")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_src, out_dst, out_len = [], [], []
+            for src, dst, pa, pb, ta, tb in zip(
+                pdf["src"], pdf["dst"], pdf["pos_src"], pdf["pos_dst"],
+                pdf["text_src"], pdf["text_dst"],
+            ):
+                a, b = _codepoints(ta), _codepoints(tb)
+                pa, pb = int(pa), int(pb)
+                # right extension (vectorized mismatch scan)
+                x, y = a[pa + win :], b[pb + win :]
+                nr = min(len(x), len(y))
+                neq = x[:nr] != y[:nr]
+                ext_r = int(np.argmax(neq)) if neq.any() else nr
+                # left extension
+                x, y = a[:pa][::-1], b[:pb][::-1]
+                nl = min(len(x), len(y))
+                neq = x[:nl] != y[:nl]
+                ext_l = int(np.argmax(neq)) if neq.any() else nl
+                out_src.append(src)
+                out_dst.append(dst)
+                out_len.append(win + ext_r + ext_l)
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series(out_src, dtype="int64"),
+                    "dst": pd.Series(out_dst, dtype="int64"),
+                    "run_len": pd.Series(out_len, dtype="int32"),
+                }
+            )
+
+    runs = joined.mapInPandas(run, schema="src long, dst long, run_len int")
+    return (
+        runs.where(F.col("run_len") >= min_len)
+        .groupBy("src", "dst")
+        .agg(F.max("run_len").alias("run_len"))
+    )
+
+
 def substring_dup_pairs(
     docs: DataFrame,
     min_len: int = 64,
-    stride: int = 4,
     max_docs_per_window: int = 1000,
 ) -> DataFrame:
-    """Pairs (src < dst) sharing a verbatim ≥min_len-char run.
+    """Pairs (src < dst) sharing a verbatim ≥min_len-char run — exact.
 
     Viral windows (boilerplate shared by >max_docs_per_window docs) are
     dropped from pairing — they'd blow up quadratically; they are exactly
     the "remove this boilerplate everywhere" case, better served by the
     exact-hash layer. Not silent: `suffix_metrics` surfaces them.
     """
-    anchors = anchored_windows(docs, min_len, stride)
+    from simages_spark.operators.buckets import bucket_pairs
+
+    # localCheckpoint: the anchor UDF (the expensive Python stage) runs
+    # exactly once even though anchors feed both the viral-count agg and
+    # the pairing join.
+    anchors = anchored_windows(docs, min_len).localCheckpoint(eager=True)
     counts = anchors.groupBy("h1", "h2").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
-    eligible = (
-        anchors.join(
-            counts.where(
-                (F.col("n_docs") > 1) & (F.col("n_docs") <= max_docs_per_window)
+    eligible = anchors.join(
+        counts.where(
+            (F.col("n_docs") > 1) & (F.col("n_docs") <= max_docs_per_window)
+        ).select("h1", "h2"),
+        ["h1", "h2"],
+    )
+    matches = (
+        bucket_pairs(
+            eligible.select(
+                "h1", "h2", F.struct("doc_id", "pos").alias("m")
             ),
             ["h1", "h2"],
+            "m",
+            cap=4 * max_docs_per_window,
+            nsalt=8,
         )
-        .select("h1", "h2", "doc_id")
-        .dropDuplicates()
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.pos").alias("pos_src"),
+            F.col("b.pos").alias("pos_dst"),
+        )
     )
-    left = eligible.select("h1", "h2", F.col("doc_id").alias("src"))
-    right = eligible.select("h1", "h2", F.col("doc_id").alias("dst"))
-    return (
-        left.join(right, ["h1", "h2"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates()
-        .withColumn("method", F.lit("suffix"))
-    )
+    return _extend_matches(docs, matches, min_len).select("src", "dst", "run_len")
 
 
-def suffix_metrics(docs: DataFrame, min_len: int = 64, stride: int = 4) -> DataFrame:
-    counts = anchored_windows(docs, min_len, stride).groupBy("h1", "h2").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+def suffix_metrics(docs: DataFrame, min_len: int = 64) -> DataFrame:
+    counts = anchored_windows(docs, min_len).groupBy("h1", "h2").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_anchors"),
     )
     return counts.agg(
         F.count("*").alias("n_windows"),
+        F.sum("n_anchors").alias("n_anchor_rows"),
         F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared_windows"),
         F.max("n_docs").alias("max_docs_per_window"),
     )

@@ -48,6 +48,12 @@ def verify_pairs(
             ),
             "dst",
         )
+        # guard the denominator: a pair of zero-shingle docs (null/
+        # whitespace-only text reaching verify via the exact-hash layer)
+        # would yield 0/0 = NaN, and Spark orders NaN ABOVE all doubles so
+        # it would silently pass any >= threshold — drop such pairs, same
+        # as the oracle's len(shingles) > 0 semantics
+        .where(F.size("h_src") + F.size("h_dst") > 0)
         .withColumn("n_inter", F.size(F.array_intersect("h_src", "h_dst")))
         .withColumn(
             "jaccard",

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from simages_spark.checkpoint import CheckpointStore
+from simages_spark.checkpoint import CheckpointStore, config_fingerprint
 from simages_spark.config import DedupConfig
 from simages_spark.functions.signatures import compute_signatures
 from simages_spark.operators.connected_components import connected_components
@@ -72,14 +72,15 @@ def find_duplicates(
         else None
     )
 
+    fp = config_fingerprint(cfg)
     if store:
         signatures = store.get_or_compute(
-            "signatures", lambda: build_signatures(docs, cfg)
+            "signatures", lambda: build_signatures(docs, cfg), fingerprint=fp
         )
     else:
         # signatures feed 4 consumers (bands, simhash, verify×2): without a
         # checkpoint the Arrow UDF would re-run per consumer — persist once
-        # (disk-spillable; the Iceberg/parquet checkpoint is the cluster-
+        # (disk-spillable; the parquet checkpoint is the cluster-
         # scale equivalent, reference analog: extractor.py:179-189 cache)
         signatures = build_signatures(docs, cfg).persist()
 
@@ -89,12 +90,20 @@ def find_duplicates(
         return verify_pairs(candidates, signatures, cfg)
 
     # edges feed CC (iterative) and the caller — persist when not stored
-    edges = store.get_or_compute("edges", _edges) if store else _edges().persist()
+    edges = (
+        store.get_or_compute("edges", _edges, fingerprint=fp)
+        if store
+        else _edges().persist()
+    )
 
     def _clusters() -> DataFrame:
         return connected_components(edges, cfg)
 
-    clusters = store.get_or_compute("clusters", _clusters) if store else _clusters()
+    clusters = (
+        store.get_or_compute("clusters", _clusters, fingerprint=fp)
+        if store
+        else _clusters()
+    )
 
     return DedupResult(
         signatures=signatures, candidates=candidates, edges=edges, clusters=clusters

@@ -1,0 +1,97 @@
+"""Group-level operators: A2 sentinel semantics, O3 pagination,
+annotation patching, checkpoint staleness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simages_spark.operators.groups import (
+    duplicate_groups,
+    paginate_groups,
+    patch_annotations,
+    same_time_filter,
+)
+
+
+def test_same_time_filter_sentinel(spark):
+    """Reference semantics (duplicate_images/duplicate_finder.py:243-252):
+    keep when all known timestamps agree, AND keep whenever any member's
+    time is unknown — even if the known timestamps disagree."""
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30), (6, 30), (7, 30)],
+        ["doc_id", "cluster_id"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, 100, "a"), (2, 100, "b"),         # same ts → keep
+            (3, 100, "c"), (4, 200, "d"),         # differ, no null → drop
+            (5, 100, "e"), (6, 200, "f"), (7, None, "g"),  # null ⇒ KEEP
+        ],
+        "doc_id long, warc_ts long, text string",
+    )
+    groups = duplicate_groups(clusters, docs)
+    kept = {r["cluster_id"] for r in same_time_filter(groups).collect()}
+    assert kept == {10, 30}
+
+
+def test_paginate_groups(spark):
+    groups = spark.createDataFrame(
+        [(i, 100 - i) for i in range(1, 13)], ["cluster_id", "total"]
+    )
+    paged = paginate_groups(groups, page_size=5).collect()
+    by_rank = sorted(paged, key=lambda r: r["rank"])
+    # ordered by total desc → cluster 1 first
+    assert [r["cluster_id"] for r in by_rank[:3]] == [1, 2, 3]
+    assert [r["page"] for r in by_rank] == [1] * 5 + [2] * 5 + [3] * 2
+
+
+def test_patch_annotations(spark):
+    policy = spark.createDataFrame(
+        [(1, 10, True), (2, 10, False), (3, 10, False), (4, 20, True)],
+        ["doc_id", "cluster_id", "is_keeper"],
+    )
+    ann = spark.createDataFrame(
+        [(2, "cat"), (3, "cat"), (3, "dog"), (4, "bird"), (99, "fish")],
+        ["doc_id", "label"],
+    )
+    got = {(r["doc_id"], r["label"]) for r in patch_annotations(ann, policy).collect()}
+    # 2,3 remap to keeper 1 (identical (1,cat) rows dedup); 4 is its own
+    # keeper; 99 outside any cluster passes through
+    assert got == {(1, "cat"), (1, "dog"), (4, "bird"), (99, "fish")}
+
+
+def test_checkpoint_fingerprint_invalidation(spark, tmp_path):
+    """A stage written under one config must NOT satisfy a run under a
+    different config (e.g. cli --threshold change)."""
+    from simages_spark.checkpoint import CheckpointStore, config_fingerprint
+    from simages_spark.config import DedupConfig
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    fp1 = config_fingerprint(DedupConfig(jaccard_threshold=0.5))
+    fp2 = config_fingerprint(DedupConfig(jaccard_threshold=0.8))
+    assert fp1 != fp2
+
+    calls = []
+
+    def make(v):
+        def f():
+            calls.append(v)
+            return spark.createDataFrame([(v,)], ["x"])
+        return f
+
+    assert store.get_or_compute("s", make(1), fingerprint=fp1).collect()[0][0] == 1
+    assert store.get_or_compute("s", make(2), fingerprint=fp1).collect()[0][0] == 1
+    # changed config → stale → recompute
+    assert store.get_or_compute("s", make(3), fingerprint=fp2).collect()[0][0] == 3
+    assert calls == [1, 3]
+
+
+def test_checkpoint_missing_stage_friendly_error(spark, tmp_path):
+    from simages_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "ck2"))
+    try:
+        store.read("clusters")
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert "producing stage" in str(e)

@@ -135,6 +135,76 @@ def test_substring_pairs(spark):
             (3, "completely unrelated content " * 10),
         ],
     )
-    pairs = {(r["src"], r["dst"]) for r in substring_dup_pairs(docs, 64).collect()}
+    rows = substring_dup_pairs(docs, 64).collect()
+    pairs = {(r["src"], r["dst"]) for r in rows}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+    # run_len reports the true maximal shared run (which can extend past
+    # the planted block: "beta|delta " share a trailing "ta ", and both
+    # suffixes start with " ")
+    run = {(r["src"], r["dst"]): r["run_len"] for r in rows}[(1, 2)]
+    assert run >= len(shared)
+
+
+def test_substring_exact_semantics_boundary(spark):
+    """The winnowing+extension pass is EXACT: a shared run of exactly
+    min_len chars is found; min_len-1 is not (for any alignment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    shared64 = rand_text(64)
+    shared63 = rand_text(63)
+    docs = _docs(
+        spark,
+        [
+            (1, rand_text(100) + shared64 + rand_text(90)),
+            (2, rand_text(80) + shared64 + rand_text(110)),
+            (3, rand_text(100) + shared63 + rand_text(90)),
+            (4, rand_text(80) + shared63 + rand_text(110)),
+        ],
+    )
+    pairs = {(r["src"], r["dst"]) for r in substring_dup_pairs(docs, 64).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) not in pairs
+
+
+def test_substring_bruteforce_oracle(spark):
+    """Operator output == brute-force 64-char-window self-join (the same
+    oracle shape the driver runs in DuckDB), on a corpus with planted
+    runs at several lengths and a repeated-within-doc block."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+
+    def rand_text(n):
+        return "".join(chr(97 + c) for c in rng.integers(0, 26, n))
+
+    runs = {L: rand_text(L) for L in (50, 64, 70, 128, 200)}
+    boiler = rand_text(30)
+    rows, did = [], 0
+    for L, s in runs.items():
+        for _ in range(2):
+            rows.append((did, rand_text(60) + s + rand_text(60)))
+            did += 1
+    rows.append((did, boiler * 4 + rand_text(40)))  # within-doc repeats
+    rows.append((did + 1, rand_text(40) + boiler * 4))
+    docs = _docs(spark, rows)
+
+    got = {(r["src"], r["dst"]) for r in substring_dup_pairs(docs, 64).collect()}
+
+    texts = dict(rows)
+    expected = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                wa = {texts[a][i : i + 64] for i in range(len(texts[a]) - 63)}
+                if any(
+                    texts[b][i : i + 64] in wa
+                    for i in range(len(texts[b]) - 63)
+                ):
+                    expected.add((a, b))
+    assert got == expected

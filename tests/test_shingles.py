@@ -35,6 +35,43 @@ def test_hash_shingles_deterministic():
     assert h1.dtype == np.uint64
     assert sorted(h1.tolist()) == sorted(h2.tolist())
     assert len(set(h1.tolist())) == 2
+    assert all(v < 2**60 for v in h1.tolist())
+
+
+def test_hash_portability_python_jvm_duckdb(spark):
+    """The 60-bit md5-prefix shingle hash is bit-identical across the three
+    engines that compute it (Python hashlib, Spark JVM md5/conv, DuckDB
+    hex cast) — the foundation of every value-checked signature oracle."""
+    import duckdb
+
+    from simages_spark.functions.shingles import (
+        DUCKDB_HASH_SQL,
+        shingle_hash_col,
+    )
+
+    texts = ["a b c d e f g", "the quick brown fox jumps over it", "x y z"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    jvm = {
+        r["doc_id"]: sorted(r["h"])
+        for r in df.select(
+            "doc_id", shingle_hash_col(F.col("text")).alias("h")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        py = sorted(hash_shingles(shingle_strings(t)).tolist())
+        assert jvm[i] == py, f"doc {i}: JVM {jvm[i]} != python {py}"
+        duck = sorted(
+            v
+            for (v,) in duckdb.sql(
+                "SELECT "
+                + DUCKDB_HASH_SQL.format(s="s")
+                + " FROM (SELECT unnest(?) AS s)",
+                params=[shingle_strings(t)],
+            ).fetchall()
+        )
+        assert duck == py, f"doc {i}: duckdb {duck} != python {py}"
 
 
 def test_jvm_matches_python(spark, docs_sf0001):

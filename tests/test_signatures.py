@@ -7,9 +7,10 @@ import numpy as np
 from simages_spark.config import DedupConfig
 from simages_spark.functions.shingles import hash_shingles, shingle_strings
 from simages_spark.functions.signatures import (
-    _perm_params,
     compute_signatures,
     minhash_of_hashes,
+    perm_params,
+    signature_metrics,
     simhash_of_hashes,
 )
 
@@ -17,16 +18,16 @@ CFG = DedupConfig()
 
 
 def test_perm_params_deterministic():
-    a1, b1 = _perm_params(128, 42)
-    a2, b2 = _perm_params(128, 42)
+    a1, b1 = perm_params(128, 42)
+    a2, b2 = perm_params(128, 42)
     assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
     assert np.all(a1 % 2 == 1)  # multiply-shift needs odd multipliers
-    a3, _ = _perm_params(128, 43)
+    a3, _ = perm_params(128, 43)
     assert not np.array_equal(a1, a3)
 
 
 def test_minhash_identical_sets_match():
-    a, b = _perm_params(128, 42)
+    a, b = perm_params(128, 42)
     h = hash_shingles(shingle_strings("the quick brown fox jumps over the lazy dog"))
     m1 = minhash_of_hashes(h, a, b)
     m2 = minhash_of_hashes(h.copy(), a, b)
@@ -36,7 +37,7 @@ def test_minhash_identical_sets_match():
 
 def test_minhash_estimates_jaccard():
     rng = np.random.default_rng(0)
-    a, b = _perm_params(128, 42)
+    a, b = perm_params(128, 42)
     base = rng.integers(0, 2**63, 200, dtype=np.uint64)
     # ~50% overlap set
     other = np.concatenate(
@@ -69,6 +70,26 @@ def test_compute_signatures_df(spark, docs_sf0001):
         assert len(r["minhash"]) == 128
         assert r["num_shingles"] == len(r["shingle_hashes"])
         assert len(set(r["shingle_hashes"])) == len(r["shingle_hashes"])
+        assert 0 <= r["simhash"] < 2**CFG.simhash_bits
+        assert all(0 <= h < 2**60 for h in r["shingle_hashes"])
+
+
+def test_shingle_cap_not_silent(spark):
+    """>max_shingles_per_doc docs are truncated deterministically (smallest
+    hashes kept) and the truncation is SURFACED, never silent."""
+    from simages_spark.functions.shingles import hash_shingles, shingle_strings
+
+    small = DedupConfig(max_shingles_per_doc=10)
+    text = " ".join(f"tok{i}" for i in range(50))  # 46 distinct 5-gram shingles
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = compute_signatures(df, small).collect()[0]
+    assert row["num_shingles_raw"] == len(shingle_strings(text))
+    assert row["num_shingles"] == 10
+    expected = sorted(hash_shingles(shingle_strings(text)).tolist())[:10]
+    assert sorted(row["shingle_hashes"]) == expected
+    m = signature_metrics(compute_signatures(df, small)).collect()[0]
+    assert m["n_truncated_docs"] == 1
+    assert m["max_shingles_raw"] == row["num_shingles_raw"]
 
 
 def test_null_and_empty_text_tolerated(spark):
