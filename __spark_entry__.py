@@ -34,6 +34,7 @@ from simages_spark.operators.groups import (
     patch_annotations,
     same_time_filter,
 )
+from simages_spark.operators.ivf import ivf_cosine_pairs
 from simages_spark.operators.joins import enrich_pairs
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
@@ -220,6 +221,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # where banding recall < 1.
         "ann_cosine_pairs": lambda spark, sf: ann_cosine_pairs(
             _emb(spark, sf), threshold=0.4, dim=64, bands=16, bits=8
+        ),
+        # IVF ANN variant (inverted-file cells, nprobe=2, exact re-rank).
+        # Deterministic codebook (lowest-id vectors) + integer-dot
+        # assignment make the cells — and hence the output — replayable
+        # in the oracle.
+        "ivf_cosine_pairs": lambda spark, sf: ivf_cosine_pairs(
+            _emb(spark, sf), threshold=0.4, n_cells=16, nprobe=2
         ),
         # A2 — same-time group filter over a warc_ts surrogate (null =
         # "Time unknown" sentinel ⇒ keep)
@@ -548,6 +556,39 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_ANN_SKETCH}) s1 JOIN ({_ANN_SKETCH}) s2
                 ON s1.band = s2.band AND s1.band_val = s2.band_val
                AND s1.vec_id < s2.vec_id
+            )
+            SELECT c.src, c.dst, round({_COS}, 6) AS cosine
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.src
+            JOIN embeddings b ON b.vec_id = c.dst
+            WHERE round({_COS}, 6) >= 0.4
+        """,
+        # replayed IVF: codebook = 16 lowest-id vectors, integer-dot
+        # assignment to top-2 cells, co-cell pairs, exact cosine re-rank
+        "ivf_cosine_pairs": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     [CAST(floor(embedding[i]*1000000 + 0.5) AS BIGINT)
+                      for i in range(1, 65)] AS qc
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            scores AS (
+              SELECT q.vec_id, c.cell,
+                     list_sum([q.qv[i] * c.qc[i] for i in range(1, 65)]) AS s
+              FROM ({_QVEC}) q, cent c
+            ),
+            assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell) AS r
+                FROM scores
+              ) WHERE r <= 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+              FROM assign a JOIN assign b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
             )
             SELECT c.src, c.dst, round({_COS}, 6) AS cosine
             FROM cand c

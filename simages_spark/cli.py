@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--page", type=int, default=1, help="report: 1-based page")
     ap.add_argument("--page-size", type=int, default=25)
+    ap.add_argument("--html", help="report: also write a static HTML page here")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -99,16 +100,39 @@ def main(argv: list[str] | None = None) -> int:
         # paged report — reference chunks 25 groups/page
         # (duplicate_images/duplicate_finder.py:324-329)
         paged = paginate_groups(groups, args.page_size)
-        for row in (
+        page_rows = (
             paged.where(F.col("page") == args.page)
             .orderBy("rank")
             .limit(args.topk)
             .collect()
-        ):
+        )
+        for row in page_rows:
             print(json.dumps({
                 "cluster_id": row["cluster_id"], "total": row["total"],
                 "rank": row["rank"], "page": row["page"],
             }))
+        if args.html:
+            from simages_spark.report import render_html_report
+
+            n_pages = (
+                paged.agg(F.max("page").alias("m")).collect()[0]["m"] or 0
+            )
+            html_doc = render_html_report(
+                [
+                    {
+                        "cluster_id": r["cluster_id"],
+                        "total": r["total"],
+                        "items": [it.asDict() for it in r["items"]],
+                    }
+                    for r in page_rows
+                ],
+                page=args.page,
+                page_size=args.page_size,
+                n_pages=int(n_pages),
+            )
+            with open(args.html, "w") as f:
+                f.write(html_doc)
+            print(json.dumps({"html_report": args.html, "n_pages": int(n_pages)}))
     elif args.command == "apply-policy":
         clusters = store.read("clusters")
         policy = keep_first_policy(clusters, docs, cfg)

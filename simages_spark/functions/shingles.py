@@ -55,8 +55,12 @@ def shingle_strings(text: str, k: int = 5) -> list[str]:
 
 
 def hash_shingle(s: str) -> int:
-    """One 60-bit portable shingle hash (see HASH_HEX_CHARS note above)."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HASH_HEX_CHARS], 16)
+    """One 60-bit portable shingle hash (see HASH_HEX_CHARS note above).
+
+    First 60 bits of the digest == first 15 hex chars; the byte path
+    avoids hexdigest + string-int parsing in the hot loop.
+    """
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
 
 
 def hash_shingles(shingles: list[str]) -> np.ndarray:

@@ -10,39 +10,42 @@ signature UDF and ride along as `shingle_hashes`.
 Scale notes: the two joins shuffle candidates on src then dst against the
 signatures table; with signatures checkpointed (bucketed by doc_id at
 cluster scale) these are plain hash joins, and AQE skew-split covers hot
-docs that appear in many candidate pairs.
+docs that appear in many candidate pairs. When the shingle-array payload
+dominates (hot docs replicated per candidate pair, or a checkpointed
+signatures table that must stay slim), `verify_pairs_recompute` trades a
+second text scan over *candidate docs only* for not carrying
+`shingle_hashes` through the shuffle at all — measured side by side in
+tools/bench_verify_payload.py; BENCH/BASELINE.md records the numbers.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from simages_spark.config import DedupConfig
 
 
-def verify_pairs(
-    candidates: DataFrame,
-    signatures: DataFrame,
-    cfg: DedupConfig | None = None,
-    keep_below_threshold: bool = False,
+def _jaccard_edges(
+    candidates: DataFrame, sets: DataFrame, threshold: float | None
 ) -> DataFrame:
-    """candidates(src,dst) × signatures → edges(src, dst, jaccard).
-
-    Inner joins reproduce the reference's drop-if-missing enrichment
-    semantics (reference: src/simages/duplicate_finder.py:162-164).
-    """
-    cfg = cfg or DedupConfig()
-    sig = signatures.select("doc_id", "shingle_hashes")
+    """candidates(src,dst) ⋈ sets(doc_id, shingle_hashes) on both sides →
+    (src, dst, jaccard). Inner joins reproduce the reference's
+    drop-if-missing enrichment semantics
+    (reference: src/simages/duplicate_finder.py:162-164)."""
     edges = (
         candidates.join(
-            sig.select(
+            sets.select(
                 F.col("doc_id").alias("src"),
                 F.col("shingle_hashes").alias("h_src"),
             ),
             "src",
         )
         .join(
-            sig.select(
+            sets.select(
                 F.col("doc_id").alias("dst"),
                 F.col("shingle_hashes").alias("h_dst"),
             ),
@@ -62,9 +65,80 @@ def verify_pairs(
         )
         .select("src", "dst", "jaccard")
     )
-    if not keep_below_threshold:
-        edges = edges.where(F.col("jaccard") >= cfg.jaccard_threshold)
+    if threshold is not None:
+        edges = edges.where(F.col("jaccard") >= threshold)
     return edges
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig | None = None,
+    keep_below_threshold: bool = False,
+) -> DataFrame:
+    """candidates(src,dst) × signatures → edges(src, dst, jaccard)."""
+    cfg = cfg or DedupConfig()
+    return _jaccard_edges(
+        candidates,
+        signatures.select("doc_id", "shingle_hashes"),
+        None if keep_below_threshold else cfg.jaccard_threshold,
+    )
+
+
+def verify_pairs_recompute(
+    candidates: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig | None = None,
+    keep_below_threshold: bool = False,
+) -> DataFrame:
+    """Verify WITHOUT the signatures table: re-derive shingle sets from
+    `text`, for candidate docs only (semi-join first).
+
+    The documented alternative when the shingle-array payload is the
+    bottleneck: the signatures checkpoint shrinks to minhash+simhash
+    (~1 KB/doc instead of up to 64 KB/doc), at the price of re-reading
+    `text` for the (typically small) fraction of docs that appear in a
+    candidate pair. Output is identical to `verify_pairs` by construction
+    — both hash through functions/shingles.py.
+    """
+    cfg = cfg or DedupConfig()
+    cap, k = cfg.max_shingles_per_doc, cfg.shingle_size
+    ids = (
+        candidates.select(F.col("src").alias("doc_id"))
+        .unionByName(candidates.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(ids, "doc_id", "left_semi").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simages_spark.functions.shingles import (
+            hash_shingles,
+            shingle_strings,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "shingle_hashes": [
+                        hash_shingles(shingle_strings(t, k))[:cap].astype(np.int64)
+                        for t in pdf["text"].fillna("")
+                    ],
+                }
+            )
+
+    # persist: the recomputed sets feed both the src- and dst-side joins;
+    # without it the hashing UDF runs twice (the round-1 suffix lesson)
+    sets = cand_docs.mapInPandas(
+        run, schema="doc_id long, shingle_hashes array<long>"
+    ).persist()
+    return _jaccard_edges(
+        candidates,
+        sets,
+        None if keep_below_threshold else cfg.jaccard_threshold,
+    )
 
 
 def top_k_pairs(edges: DataFrame, k: int) -> DataFrame:
@@ -78,7 +152,12 @@ def top_k_pairs(edges: DataFrame, k: int) -> DataFrame:
 def quantile_pairs(edges: DataFrame, q: float) -> DataFrame:
     """All pairs in the closest q-quantile (reference: src/simages/extractor.py:328,
     `quantile` param). Exact percentile; at extreme scale swap for
-    approxQuantile — documented tradeoff, not silent."""
+    approxQuantile — documented tradeoff, not silent.
+
+    The edge set is consumed twice (threshold scan + filter); persist so
+    an expensive upstream (e.g. the brute-force oracle join) runs once.
+    """
+    edges = edges.persist()
     thresh = edges.agg(
         F.expr(f"percentile(jaccard, {1.0 - q})").alias("t")
     ).collect()[0]["t"]

@@ -52,3 +52,34 @@ def test_stagewise_checkpoint_flow(spark, docs_sf0001, tmp_path):
         m = store2.metrics(stage)
         assert json.dumps(m)  # serializable
         assert m["rows"] >= 0
+
+
+def test_render_html_report():
+    """S12 sink: escaped static HTML, keeper row marked, pager links
+    (reference chunks 25/page + Jinja render,
+    src/simages/duplicate_images/duplicate_finder.py:304-339)."""
+    from simages_spark.report import render_html_report
+
+    rows = [
+        {
+            "cluster_id": 7,
+            "total": 2,
+            "items": [
+                {"doc_id": 1, "url": "http://a/<script>"},
+                {"doc_id": 2, "url": "http://b"},
+            ],
+        },
+        {"cluster_id": 9, "total": 3, "items": []},
+    ]
+    out = render_html_report(rows, page=2, page_size=25, n_pages=3)
+    assert "cluster 7" in out and "cluster 9" in out
+    assert "&lt;script&gt;" in out and "<script>" not in out  # escaped
+    assert out.count('class="keeper"') == 1  # first member of group 7
+    assert 'href="report_p1.html"' in out and "<b>2</b>" in out  # pager
+    # JSON-string items (the checkpointed-groups form) also render
+    out2 = render_html_report(
+        [{"cluster_id": 1, "total": 2,
+          "items": json.dumps([{"doc_id": 4}, {"doc_id": 5}])}],
+        page=1, page_size=25, n_pages=1,
+    )
+    assert "cluster 1" in out2 and out2.count('class="keeper"') == 1

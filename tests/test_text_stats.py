@@ -88,6 +88,52 @@ def test_ann_lsh_recall_on_planted_vectors(spark):
     assert recall >= 0.95, f"ANN recall {recall}"
 
 
+def test_ivf_recall_and_determinism(spark):
+    """IVF cells (deterministic lowest-id codebook, nprobe=2) + exact
+    re-rank: planted near-dups recovered, no false positives, identical
+    output across partitionings."""
+    from simages_spark.operators.ivf import ivf_cosine_pairs, ivf_metrics
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    rows = []
+    vid = 0
+    for g in range(15):
+        base = rng.standard_normal(dim)
+        near = base + 0.05 * rng.standard_normal(dim)
+        rows.append((vid, [float(x) for x in base]))
+        rows.append((vid + 1, [float(x) for x in near]))
+        vid += 2
+    for _ in range(50):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["src"], r["dst"]) for r in bruteforce_cosine_pairs(emb, 0.95).collect()
+    }
+    approx = {
+        (r["src"], r["dst"])
+        for r in ivf_cosine_pairs(emb, 0.95, n_cells=8, nprobe=3).collect()
+    }
+    assert approx <= exact  # exact re-rank ⇒ no false positives
+    assert len(exact) >= 15
+    recall = len(approx & exact) / len(exact)
+    # planted near-dups have cosine ≈ 0.999: their integer-dot scores
+    # against every centroid are near-identical, so nprobe cells overlap
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    again = {
+        (r["src"], r["dst"])
+        for r in ivf_cosine_pairs(
+            emb.repartition(7), 0.95, n_cells=8, nprobe=3
+        ).collect()
+    }
+    assert again == approx  # partitioning-independent
+
+    m = ivf_metrics(emb, n_cells=8, nprobe=3).collect()[0]
+    assert m["n_nonempty_cells"] <= 8 and m["max_cell_n"] >= 1
+
+
 def test_sniff_magic():
     assert sniff_magic(b"\x89PNG\r\n") == "png"
     assert sniff_magic(b"\xff\xd8\xff\xe0") == "jpeg"
