@@ -21,7 +21,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_DOCS = int(os.environ.get("SCALING_N_DOCS", "300000"))
+# 1.2M: at 300k the round-2 signature speedup left local[32] latency-bound
+# (24.3s vs 21.2s, efficiency 0.287 — fixed job overhead, not scaling);
+# the corpus must be big enough that compute dominates at BOTH levels
+N_DOCS = int(os.environ.get("SCALING_N_DOCS", "1200000"))
+
+# N vs 4N levels. Default 2→8: both levels fit the 32-vCPU host with room
+# for the JVM's auxiliary threads (GC, shuffle) and the Arrow python
+# workers, so the pinned measurement isolates the JOB's scalability — the
+# cluster analog where each added executor brings real cores. The 8→32
+# pair saturates the host (32 task threads + 32 python workers + GC share
+# 32 vCPUs + 5-15% steal) and under-reports; it is still reported in
+# BENCH/BASELINE.md as the saturation data point.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
+)
 
 
 def measure(cores: int) -> dict:
@@ -121,8 +135,10 @@ def main() -> None:
         print("RESULT " + json.dumps(measure(args.cores)))
         return
 
+    lo, hi = LEVELS
+    assert hi == 4 * lo, "levels must be N and 4N"
     results = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         # taskset pins the whole JVM (GC, shuffle, python workers) to N
         # CPUs — otherwise local[8] borrows all 32 machine cores for its
         # auxiliary thread pools and the comparison under-reports scaling
@@ -142,19 +158,19 @@ def main() -> None:
         results[cores] = json.loads(line[-1][len("RESULT "):])
         print(f"local[{cores}]: {results[cores]}")
 
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    eff = t32 / (4 * t8)
+    t_lo, t_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+    eff = t_hi / (4 * t_lo)
     summary = {
         "n_docs": N_DOCS,
-        "throughput_local8_docs_per_sec": t8,
-        "throughput_local32_docs_per_sec": t32,
-        "scaling_efficiency_8_to_32": round(eff, 3),
-        "clusters_equal_across_levels": results[8]["n_cluster_rows"]
-        == results[32]["n_cluster_rows"],
+        f"throughput_local{lo}_docs_per_sec": t_lo,
+        f"throughput_local{hi}_docs_per_sec": t_hi,
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "clusters_equal_across_levels": results[lo]["n_cluster_rows"]
+        == results[hi]["n_cluster_rows"],
     }
     print(json.dumps(summary))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/scaling.json", "w") as f:
+    with open(f"BENCH/scaling_{lo}_{hi}.json", "w") as f:
         json.dump({"runs": results, "summary": summary}, f, indent=2)
 
 

@@ -15,8 +15,12 @@ stateless, so the stream is just scan → mapInPandas → sink.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from simages_spark.config import DedupConfig
 from simages_spark.functions.signatures import compute_signatures
@@ -39,6 +43,67 @@ def stream_signatures(
     signatures = compute_signatures(incoming, cfg)
     return (
         signatures.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _keep_first_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per text_sha: emit the first-seen doc (min doc_id within the batch,
+    stream order across batches), suppress every later copy. State is one
+    flag per content hash — the streaming form of the keep-first policy."""
+    if state.exists:
+        return  # this content hash already emitted its keeper
+    best_id, best_row = None, None
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        i = pdf["doc_id"].idxmin()
+        if best_id is None or pdf["doc_id"][i] < best_id:
+            best_id = pdf["doc_id"][i]
+            best_row = pdf.loc[[i], ["doc_id", "text_sha"]]
+    if best_row is not None:
+        state.update((True,))
+        yield best_row
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCS_SCHEMA,
+) -> StreamingQuery:
+    """Streaming exact dedup — the custom stateful operator the batch
+    pipeline can't express: as docs arrive, emit ONLY the first occurrence
+    of each content hash (keeper), drop all later exact copies, across
+    micro-batch boundaries.
+
+    `applyInPandasWithState` keyed on sha2(text): keyed state (one boolean
+    per seen hash) is checkpointed with the stream, so a restart resumes
+    with the same dedup history — the keep-first policy
+    (reference: src/simages/duplicate_finder.py:403-409) as a streaming
+    operator. At cluster scale the state store shards by key across
+    executors (RocksDB-backed state store in production configs).
+    """
+    incoming = spark.readStream.schema(schema).parquet(input_dir)
+    hashed = incoming.where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).withColumn("text_sha", F.sha2("text", 256))
+    keepers = hashed.groupBy("text_sha").applyInPandasWithState(
+        _keep_first_state_fn,
+        outputStructType="doc_id long, text_sha string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        keepers.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -45,6 +45,25 @@ def test_paginate_groups(spark):
     assert [r["page"] for r in by_rank] == [1] * 5 + [2] * 5 + [3] * 2
 
 
+def test_pairwise_groups_debug_view(spark):
+    """A3: one group per edge, both members carry the pair's jaccard
+    (reference pre-clustering groups, duplicate_finder.py:158-186)."""
+    from simages_spark.operators.groups import pairwise_groups
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.6)], "src long, dst long, jaccard double"
+    )
+    got = pairwise_groups(edges).collect()
+    assert len(got) == 2
+    by_members = {
+        tuple(sorted(it["doc_id"] for it in r["items"])): r for r in got
+    }
+    assert set(by_members) == {(1, 2), (3, 4)}
+    g12 = by_members[(1, 2)]
+    assert all(it["jaccard"] == 0.9 for it in g12["items"])
+    assert len({r["group_id"] for r in got}) == 2  # distinct group ids
+
+
 def test_patch_annotations(spark):
     policy = spark.createDataFrame(
         [(1, 10, True), (2, 10, False), (3, 10, False), (4, 20, True)],

@@ -49,3 +49,39 @@ def test_stream_signatures_incremental(spark, tmp_path):
     }
     streamed = {r["doc_id"]: tuple(r["minhash"]) for r in got2.collect()}
     assert streamed == batch
+
+
+def test_stream_dedup_exact_stateful(spark, tmp_path):
+    """applyInPandasWithState keep-first: within-batch dups keep the min
+    doc_id; cross-batch dups are suppressed by checkpointed keyed state;
+    null/empty text never reaches the state store."""
+    from simages_spark.streaming import stream_dedup_exact
+
+    inp = str(tmp_path / "incoming")
+    out = str(tmp_path / "keepers")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    # batch 1: docs 1,4 identical (keep 1); 2 unique; null/empty dropped
+    _write_batch(spark, inp, [
+        (4, "same text here", "en", "s", 14),
+        (1, "same text here", "en", "s", 14),
+        (2, "something else", "en", "s", 14),
+        (8, None, "en", "s", 0),
+        (9, "", "en", "s", 0),
+    ])
+    q = stream_dedup_exact(spark, inp, out, ckpt)
+    q.awaitTermination()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2}
+
+    # batch 2: doc 5 duplicates batch-1 content (state suppresses it),
+    # doc 6 is new
+    _write_batch(spark, inp, [
+        (5, "same text here", "en", "s", 14),
+        (6, "brand new text", "en", "s", 14),
+    ])
+    q2 = stream_dedup_exact(spark, inp, out, ckpt)
+    q2.awaitTermination()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 2, 6}  # 5 suppressed by cross-batch state

@@ -105,6 +105,21 @@ def main():
     t("verify", edges.count)
     t("cc", lambda: connected_components(edges, cfg).count())
 
+    # true end-to-end (fresh lazy chain, nothing reused but the docs cache)
+    for df in (sig, lsh, sim, ex, cand, edges):
+        df.unpersist()
+    from simages_spark.pipeline import find_duplicates
+
+    t0 = time.time()
+    r = find_duplicates(docs, cfg)
+    n_cl = r.clusters.count()
+    dt = time.time() - t0
+    print(
+        f"{'e2e find_duplicates':28s} {dt:8.1f}s  -> {n_cl} cluster rows, "
+        f"{n_docs / dt:,.0f} docs/sec",
+        flush=True,
+    )
+
     spark.stop()
 
 
