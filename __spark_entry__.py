@@ -34,7 +34,7 @@ from simages_spark.operators.groups import (
     patch_annotations,
     same_time_filter,
 )
-from simages_spark.operators.ivf import ivf_cosine_pairs
+from simages_spark.operators.ivf import ivf_cosine_pairs, ivf_knn
 from simages_spark.operators.joins import enrich_pairs
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
@@ -228,6 +228,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in the oracle.
         "ivf_cosine_pairs": lambda spark, sf: ivf_cosine_pairs(
             _emb(spark, sf), threshold=0.4, n_cells=16, nprobe=2
+        ),
+        # per-query top-k ANN search (IVF probe + exact re-rank + windowed
+        # rank): queries = every 10th vector, corpus = all
+        "ivf_knn": lambda spark, sf: ivf_knn(
+            _emb(spark, sf).where(F.col("vec_id") % 10 == 0),
+            _emb(spark, sf),
+            k=5,
+            n_cells=16,
+            nprobe=2,
         ),
         # A2 — same-time group filter over a warc_ts surrogate (null =
         # "Time unknown" sentinel ⇒ keep)
@@ -595,6 +604,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings a ON a.vec_id = c.src
             JOIN embeddings b ON b.vec_id = c.dst
             WHERE round({_COS}, 6) >= 0.4
+        """,
+        # replayed IVF kNN: corpus in 1 cell each, queries probe 2 cells,
+        # exact cosine re-rank, row_number <= 5 per query
+        "ivf_knn": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     [CAST(floor(embedding[i]*1000000 + 0.5) AS BIGINT)
+                      for i in range(1, 65)] AS qc
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            scores AS (
+              SELECT q.vec_id, c.cell,
+                     list_sum([q.qv[i] * c.qc[i] for i in range(1, 65)]) AS s
+              FROM ({_QVEC}) q, cent c
+            ),
+            c_assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell) AS r
+                FROM scores
+              ) WHERE r = 1
+            ),
+            q_assign AS (
+              SELECT vec_id AS q_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell) AS r
+                FROM scores WHERE vec_id % 10 = 0
+              ) WHERE r <= 2
+            ),
+            cand AS (
+              SELECT DISTINCT q.q_id, c.vec_id
+              FROM q_assign q JOIN c_assign c USING (cell)
+              WHERE q.q_id != c.vec_id
+            ),
+            scored AS (
+              SELECT cand.q_id, cand.vec_id, round({_COS}, 6) AS cosine
+              FROM cand
+              JOIN embeddings a ON a.vec_id = cand.q_id
+              JOIN embeddings b ON b.vec_id = cand.vec_id
+            )
+            SELECT q_id, vec_id, rank, cosine FROM (
+              SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cosine DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "same_time_groups": f"""
             SELECT cluster_id, total FROM (

@@ -60,6 +60,90 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
+def resize_image(arr: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index math (real, not stubbed) —
+    the analog of the reference's eval-transform Resize/CenterCrop
+    (reference: src/simages/extractor.py:105-112). Deterministic: output
+    pixel (i,j) samples source pixel (floor(i·H/h), floor(j·W/w))."""
+    src_h, src_w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * src_h // height).astype(np.int64)
+    cols = (np.arange(width) * src_w // width).astype(np.int64)
+    return arr[rows][:, cols]
+
+
+def image_features(arr: np.ndarray) -> np.ndarray:
+    """Deterministic per-channel mean/std feature vector (float64[2C]) —
+    the feature-extract slot; a real embedding model drops in here, the
+    downstream ANN/IVF operators consume the column unchanged."""
+    f = arr.astype(np.float64)
+    return np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1))])
+
+
+def resize_and_featurize(
+    df: DataFrame,
+    height: int = 4,
+    width: int = 4,
+    binary_col: str = "html",
+) -> DataFrame:
+    """decode → resize → feature-extract over an opaque binary column, one
+    Arrow-batched mapInPandas pass. The decode kernel is the declared stub
+    (fake=True deterministic parse — no codec in this environment); the
+    resize and feature math and all Spark plumbing are real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pix, feats = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[binary_col]):
+                b = bytes(payload) if payload is not None else b""
+                arr = resize_image(decode_image(b, fake=True), height, width)
+                ids.append(int(doc_id))
+                pix.append(arr.ravel().astype(np.int32))
+                feats.append(image_features(arr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "pixels": pix, "features": feats}
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(
+        run,
+        schema="doc_id long, pixels array<int>, features array<double>",
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    binary_col: str = "html",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: the payload is
+    segmented into fixed-size pseudo-frames (a real demuxer slots in at
+    the segmentation step), every_n-th frame is emitted as its own row —
+    the explode-shaped batch flow a real video pipeline needs. Output is
+    one row per sampled frame: (doc_id, frame_idx, frame_sha)."""
+    frame_bytes = 64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[binary_col]):
+                b = bytes(payload) if payload is not None else b""
+                n_frames = max(1, len(b) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            b[i * frame_bytes : (i + 1) * frame_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return df.select("doc_id", binary_col).mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame_sha string"
+    )
+
+
 def media_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
     """Typed metadata over an opaque binary column via mapInPandas.
 

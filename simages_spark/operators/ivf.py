@@ -30,7 +30,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from simages_spark.operators.ann import cosine_sim_col, quantize
 
@@ -129,6 +129,82 @@ def ivf_cosine_pairs(
         )
         .where(F.col("cosine") >= threshold)
         .select("src", "dst", "cosine")
+    )
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-query top-k by cosine (q_id, vec_id, rank, cosine) —
+    O(|Q|·|C|), the recall baseline for `ivf_knn`. Ties break on the
+    lower corpus id; self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("q_id") != F.col("vec_id"))
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
+    )
+
+
+def ivf_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query approximate top-k — the search-style ANN API (the
+    all-pairs form is `ivf_cosine_pairs`). Standard IVF shape: corpus
+    vectors live in exactly ONE cell (argmax inner product), each query
+    probes its `nprobe` best cells; candidates are the union of the probed
+    inverted lists, re-ranked by exact cosine, row_number ≤ k per query.
+
+    Deterministic + oracle-replayable for the same reasons as
+    `ivf_cosine_pairs` (lowest-id codebook, integer-dot assignment, ties
+    on rounded cosine broken by corpus id). At scale the per-query window
+    partitions by q_id — no global sort.
+    """
+    centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
+    c_assign = ivf_assignments(corpus, centroids, 1, id_col, vec_col)
+    q_assign = ivf_assignments(queries, centroids, nprobe, id_col, vec_col)
+    cand = (
+        q_assign.select("cell", F.col("vec_id").alias("q_id"))
+        .join(c_assign.select("cell", "vec_id"), "cell")
+        .where(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(qv, "q_id")
+        .join(cv, "vec_id")
+        .withColumn("cosine", F.round(cosine_sim_col(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "cosine")
     )
 
 

@@ -150,6 +150,75 @@ def test_decode_image_stub():
     assert np.array_equal(a, b) and a.shape == (8, 8, 3)
 
 
+def test_ivf_knn_vs_bruteforce(spark):
+    """Per-query top-k: IVF-probed search finds the planted nearest
+    neighbor for every query; output ⊆ candidates re-ranked exactly."""
+    from simages_spark.operators.ivf import ivf_knn, knn_bruteforce
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    rows = []
+    for vid in range(60):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+    # plant: vec 100+i ≈ vec i for i in 0..9 (each query's true NN)
+    for i in range(10):
+        near = np.asarray(rows[i][1]) + 0.02 * rng.standard_normal(dim)
+        rows.append((100 + i, [float(x) for x in near]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id >= 100")
+
+    exact = {
+        r["q_id"]: r["vec_id"]
+        for r in knn_bruteforce(queries, emb, k=1).collect()
+    }
+    assert exact == {100 + i: i for i in range(10)}  # sanity: NN is planted
+
+    approx = ivf_knn(queries, emb, k=3, n_cells=8, nprobe=3).collect()
+    got_top = {r["q_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    hits = sum(got_top.get(q) == v for q, v in exact.items())
+    assert hits >= 9, f"IVF kNN top-1 recall {hits}/10"
+    assert all(1 <= r["rank"] <= 3 and r["q_id"] != r["vec_id"] for r in approx)
+
+
+def test_resize_featurize_and_frame_sampling(spark):
+    """Multimodal plumbing: decode(stub)→resize→features in one Arrow
+    pass; frame sampling emits every_n-th fixed-size segment."""
+    from simages_spark.functions.multimodal import (
+        image_features,
+        resize_and_featurize,
+        resize_image,
+        sample_frames,
+    )
+
+    # resize math is real: 8x8 -> 4x4 nearest-neighbor samples even rows/cols
+    src = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = resize_image(src, 4, 4)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], src[0, 0]) and np.array_equal(
+        out[3, 3], src[6, 6]
+    )
+    assert image_features(out).shape == (6,)  # mean+std per channel
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 200)), (2, bytearray(b"y" * 65))],
+        "doc_id long, html binary",
+    )
+    feat = {r["doc_id"]: r for r in resize_and_featurize(df, 4, 4).collect()}
+    assert len(feat[1]["pixels"]) == 4 * 4 * 3
+    assert len(feat[1]["features"]) == 6
+    # deterministic: same payload -> same features
+    feat2 = {r["doc_id"]: r for r in resize_and_featurize(df, 4, 4).collect()}
+    assert feat[1]["features"] == feat2[1]["features"]
+
+    frames = sample_frames(df, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # doc 1: 200//64 = 3 frames -> sampled idx 0, 2; doc 2: 1 frame -> 0
+    assert sorted(by_doc[1]) == [0, 2]
+    assert by_doc[2] == [0]
+
+
 def test_media_metadata_plumbing(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"<html><body>x</body></html>")), (2, bytearray(b"\x89PNG1234"))],
