@@ -42,6 +42,7 @@ from simages_spark.operators.simhash_join import simhash_candidates
 from simages_spark.operators.suffix import substring_dup_pairs
 from simages_spark.operators.verify import quantile_pairs
 from simages_spark.pipeline import find_duplicates
+from simages_spark.streaming import windowed_event_counts
 
 CFG = DedupConfig()
 TAU = CFG.jaccard_threshold
@@ -266,6 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(spark, sf),
                 CFG,
             ),
+        ),
+        # event-time tumbling-window aggregation (batch twin of the
+        # watermarked streaming agg; window bounds as epoch seconds so the
+        # values are timezone-independent)
+        "windowed_event_counts": lambda spark, sf: windowed_event_counts(
+            spark.read.parquet(f"{sf}/events.parquet")
         ),
         # A7 support — covariance entries (the SQL-checkable half of PCA)
         "embedding_covariance": lambda spark, sf: embedding_covariance(
@@ -693,6 +700,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT coalesce(r.keeper_id, a.doc_id) AS doc_id, a.label
             FROM ann a LEFT JOIN remap r USING (doc_id)
+        """,
+        "windowed_event_counts": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                     AS win_start,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "embedding_covariance": """
             SELECT i, j, round(covar_pop(a, b), 6) AS cov FROM (

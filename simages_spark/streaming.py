@@ -51,6 +51,75 @@ def stream_signatures(
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_event_counts(events, window_duration: str = "1 hour"):
+    """Tumbling event-time window aggregation — the batch twin of
+    `stream_windowed_event_counts` (same plan minus the watermark).
+    Window bounds surface as epoch seconds: timezone-independent, so the
+    values replay identically in any session TZ and in the DuckDB oracle."""
+    return (
+        events.groupBy(
+            F.window("ts", window_duration).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "1 minute",
+    schema: str = EVENTS_SCHEMA,
+) -> StreamingQuery:
+    """Watermarked tumbling-window aggregation over an event stream with
+    late-data handling: append mode emits a window only once its end has
+    passed the watermark (max event time − delay, checkpointed across
+    restarts), and events arriving below the watermark are DROPPED rather
+    than silently mutating an already-emitted window — exactly-once
+    finalized windows. This is the streaming-agg shape the dedup metrics
+    feeds use (per-window ingest/dup counts at the stream edge)."""
+    incoming = spark.readStream.schema(schema).parquet(input_dir)
+    counts = (
+        incoming.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _keep_first_state_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

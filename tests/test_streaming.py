@@ -51,6 +51,57 @@ def test_stream_signatures_incremental(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Watermark semantics: append mode emits a window only after the
+    watermark passes its end; an event arriving below the watermark is
+    dropped, not merged into the already-finalized window."""
+    from datetime import datetime
+
+    from simages_spark.streaming import stream_windowed_event_counts
+
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    def _events(rows):
+        spark.createDataFrame(
+            [
+                (i, datetime(2024, 1, 1, h, m), 1, et, 1.0, "{}")
+                for i, (h, m, et) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    # batch 1: three events in the 00:00 window, one in 00:10
+    _events([(0, 1, "click"), (0, 5, "click"), (0, 7, "view"), (0, 11, "view")])
+    stream_windowed_event_counts(spark, inp, out, ckpt).awaitTermination()
+
+    # batch 2: events at 01:00 advance max event time (watermark catches
+    # up next run); nothing below the old watermark can emit yet
+    _events([(1, 0, "click"), (1, 2, "view")])
+    stream_windowed_event_counts(spark, inp, out, ckpt).awaitTermination()
+
+    # batch 3: a LATE event for the 00:00 window (below the 00:59
+    # watermark) plus a fresh one at 02:00
+    _events([(0, 3, "click"), (2, 0, "view")])
+    stream_windowed_event_counts(spark, inp, out, ckpt).awaitTermination()
+
+    got = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    base = int(datetime(2024, 1, 1).timestamp())
+    # 00:00 window finalized with batch-1 counts ONLY — the late click
+    # from batch 3 was dropped by the watermark
+    assert got[(base, "click")] == 2
+    assert got[(base, "view")] == 1
+    assert (base + 600, "view") in got  # 00:10 window finalized too
+    # 02:00 windows are still open (watermark hasn't passed them)
+    assert not any(ws >= base + 7200 for ws, _ in got)
+
+
 def test_stream_dedup_exact_stateful(spark, tmp_path):
     """applyInPandasWithState keep-first: within-batch dups keep the min
     doc_id; cross-batch dups are suppressed by checkpointed keyed state;
