@@ -25,8 +25,13 @@ def audit(name: str, df, full: bool = False) -> None:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # codegen spans only surface as "*(n)" stars in SIMPLE mode on this
+    # Spark version (formatted mode drops them entirely)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
     n_exchanges = len(re.findall(r"Exchange ", plan))
-    n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+    n_codegen = len(set(re.findall(r"\*\((\d+)\)", simple)))
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)", plan)
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     read_schema = re.findall(r"ReadSchema: [^\n]*", plan)
@@ -43,7 +48,16 @@ def audit(name: str, df, full: bool = False) -> None:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     full = "--full" in sys.argv
-    spark = get_spark("explain_audit", cores=8, shuffle_partitions=8)
+    # AQE off for the AUDIT ONLY: with AQE the pre-execution formatted
+    # plan is printed before codegen assembly (isFinalPlan=false), so
+    # WholeStageCodegen spans are invisible regardless of what will run.
+    # Production sessions keep AQE on (session.py).
+    spark = get_spark(
+        "explain_audit",
+        cores=8,
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     cfg = DedupConfig()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = compute_signatures(docs, cfg)
