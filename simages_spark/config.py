@@ -44,7 +44,11 @@ class DedupConfig:
     # --- checkpointing (analog of the .npy signature cache,
     #     reference: src/simages/extractor.py:179-189) ---
     checkpoint_dir: str | None = None
-    cc_checkpoint_every: int = 3  # localCheckpoint cadence in CC rounds
+    # lineage-cut cadence in CC rounds. 1 = every round (measured best:
+    # one LS+SS round is already ~6 shuffles deep and uncut Catalyst
+    # re-analysis grows superlinearly); raise to trade analysis depth for
+    # fewer materializations on very fast rounds
+    cc_checkpoint_every: int = 1
     cc_max_rounds: int = 50
 
     def __post_init__(self) -> None:

@@ -80,14 +80,20 @@ def connected_components(
     """
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
-    cur = _normalize(edges.select("src", "dst")).localCheckpoint(eager=True)
+    # LAZY localCheckpoint: the fingerprint aggregate that follows is the
+    # materializing action, so lineage-cut + convergence-check share ONE
+    # job per round (eager=True would run an extra count() job each round
+    # — the rounds are latency-bound, not compute-bound).
+    cur = _normalize(edges.select("src", "dst")).localCheckpoint(eager=False)
     prev_fp = _fingerprint(cur)
     for round_no in range(1, cfg.cc_max_rounds + 1):
-        # checkpoint every round: one LS+SS round is already several
-        # shuffles deep, and Catalyst re-analysis of an uncut lineage gets
-        # superlinear fast. localCheckpoint materializes the (tiny relative
-        # to the corpus) edge set and keeps each round's plan constant-size.
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(cur))
+        # checkpoint every cc_checkpoint_every rounds (default 1): one
+        # LS+SS round is already several shuffles deep and Catalyst
+        # re-analysis of an uncut lineage gets superlinear fast; raising
+        # the cadence trades re-analysis depth for fewer materializations.
+        if round_no % cfg.cc_checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=False)
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:
