@@ -80,14 +80,14 @@ def main() -> None:
     sig.unpersist()
     edges.unpersist()
 
-    # end-to-end (no reuse of the persisted intermediates), best-of-3:
+    # end-to-end (no reuse of the persisted intermediates), best-of-4:
     # the sandbox VM has multi-second CPU-steal bursts (measured: identical
     # back-to-back e2e runs 9.5s vs 101.7s, tools/debug_e2e.py) — min over
     # reps estimates hardware capability, same methodology as
     # bench_scaling.py; all reps are reported, nothing hidden
     reps = []
     n_clusters = 0
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.time()
         result = find_duplicates(docs, cfg)
         n_clusters = result.clusters.count()
