@@ -44,8 +44,8 @@ def _load_docs(spark, path: str):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
-        "ingest", "signatures", "candidates", "cluster", "report",
-        "apply-policy", "show", "clear",
+        "ingest", "signatures", "candidates", "cluster", "substrings",
+        "report", "apply-policy", "show", "clear",
     ])
     ap.add_argument("--input", required=True, help="corpus parquet path")
     ap.add_argument("--workdir", required=True, help="checkpoint root")
@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--page", type=int, default=1, help="report: 1-based page")
     ap.add_argument("--page-size", type=int, default=25)
     ap.add_argument("--html", help="report: also write a static HTML page here")
+    ap.add_argument("--min-len", type=int, default=64,
+                    help="substrings: minimum shared-run length (chars)")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -93,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
             "clusters", lambda: connected_components(edges, cfg), fingerprint=fp
         )
         print(json.dumps({"edges": edges.count(), "clusters_rows": clusters.count()}))
+    elif args.command == "substrings":
+        from simages_spark.operators.suffix import (
+            substring_dup_pairs,
+            suffix_metrics,
+        )
+
+        pairs = store.get_or_compute(
+            "substring_pairs",
+            lambda: substring_dup_pairs(docs, min_len=args.min_len),
+            fingerprint=f"{fp}:min_len={args.min_len}",
+        )
+        metrics = suffix_metrics(docs, args.min_len).collect()[0].asDict()
+        print(json.dumps({"substring_pairs": pairs.count(), "suffix": metrics}))
     elif args.command == "report":
         clusters = store.read("clusters")
         groups = duplicate_groups(clusters, docs)
