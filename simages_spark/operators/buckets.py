@@ -10,9 +10,16 @@ sort-merge passes disappear.
 
 Skew (north_rule): buckets above `cap` expand quadratically — members are
 salt-split *inside the expression* (filter by xxhash64(member) % nsalt,
-pairs only within a salt class). Bounded recall loss on pathological
-buckets, never silent: pair with `lsh_metrics`/`suffix_metrics` which
-report how many buckets exceeded the cap.
+pairs only within a salt class), and each salt class is additionally
+TRUNCATED to `cap` members (deterministic: the array is sorted, slice
+keeps the smallest). Without the truncation a 10⁵-copy viral page still
+emits nsalt·C(n/nsalt, 2) ≈ 6×10⁸ pairs — the salt alone bounds by a
+constant factor, not absolutely; with it the worst bucket emits at most
+nsalt·C(cap, 2) pairs, period. Identical-content floods keep full
+connectivity through the exact-hash star layer regardless (their
+truncated LSH pairs are redundant); genuinely-near-dup viral clusters
+lose bounded recall. Never silent: `lsh_metrics`/`suffix_metrics` report
+split AND truncated bucket counts.
 """
 
 from __future__ import annotations
@@ -20,8 +27,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _bind(col: Column, f) -> Column:
+    """Evaluate `col` ONCE and pass it to `f` as a bound lambda variable.
+
+    Poor man's `let`: Spark evaluates a higher-order lambda's input
+    eagerly and binds it as a variable, so references inside `f` are
+    cheap lookups. Without this, every reference to a shared Column
+    re-evaluates its whole expression subtree — `_pairs_of` references
+    its array 3× *per element*, which turns a filter over a 100k-member
+    hot bucket into ~10^8 re-evaluations (measured: 182 s for one viral
+    bucket; ~1 s bound)."""
+    return F.transform(F.array(col), f)[0]
+
+
 def _pairs_of(arr: Column) -> Column:
-    """array<T> (sorted) → array<struct<a:T, b:T>> of all i<j pairs."""
+    """array<T> (sorted) → array<struct<a:T, b:T>> of all i<j pairs.
+
+    `arr` must be a cheap reference (column or bound lambda variable) —
+    wrap computed expressions in `_bind` first."""
     return F.flatten(
         F.transform(
             arr,
@@ -51,16 +74,32 @@ def bucket_pairs(
         .agg(F.sort_array(F.collect_set(member)).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    salted = F.flatten(
+    # hash each member ONCE (interpreted xxhash64 per element is the unit
+    # cost here — don't pay it nsalt times), then the per-salt filter is a
+    # cheap field compare over the bound array.
+    salted = _bind(
         F.transform(
-            F.sequence(F.lit(0), F.lit(nsalt - 1)),
-            lambda s: _pairs_of(
-                F.filter(
-                    F.col("ids"),
-                    lambda x: F.pmod(F.xxhash64(x), F.lit(nsalt)) == s,
-                )
+            F.col("ids"),
+            lambda x: F.struct(
+                F.pmod(F.xxhash64(x), F.lit(nsalt)).alias("s"), x.alias("id")
             ),
-        )
+        ),
+        lambda tagged: F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nsalt - 1)),
+                lambda s: _bind(
+                    F.slice(
+                        F.transform(
+                            F.filter(tagged, lambda e: e["s"] == s),
+                            lambda e: e["id"],
+                        ),
+                        1,
+                        cap,
+                    ),
+                    _pairs_of,
+                ),
+            )
+        ),
     )
     pairs = F.when(F.size("ids") <= cap, _pairs_of(F.col("ids"))).otherwise(salted)
     return (

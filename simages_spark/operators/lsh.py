@@ -75,17 +75,36 @@ def candidate_pairs(
 
 
 def lsh_metrics(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
-    """Bucket-size histogram + split counts (north_rule: per-stage metrics)."""
+    """Bucket-size histogram + split/truncation counts (north_rule: metrics).
+
+    Counts are computed per (bucket, salt class) — the same salt function
+    `bucket_pairs` uses — so the truncation the expansion actually performs
+    (each salt class sliced to `cap` members) is reported exactly:
+    `n_truncated_buckets` buckets lost members, `n_truncated_members` total
+    members dropped from pair formation. Never silent.
+    """
     cfg = cfg or DedupConfig()
-    counts = band_keys(signatures, cfg).groupBy("band", "band_key").agg(
-        F.count("*").alias("bucket_n")
+    cap, nsalt = cfg.max_bucket_size, cfg.bucket_salt
+    per_class = band_keys(signatures, cfg).groupBy(
+        "band",
+        "band_key",
+        F.pmod(F.xxhash64("doc_id"), F.lit(nsalt)).alias("salt"),
+    ).agg(F.count("*").alias("class_n"))
+    per_bucket = per_class.groupBy("band", "band_key").agg(
+        F.sum("class_n").alias("bucket_n"),
+        F.sum(
+            F.when(F.col("class_n") > cap, F.col("class_n") - cap).otherwise(0)
+        ).alias("dropped_raw"),
     )
-    return counts.agg(
+    dropped = F.when(F.col("bucket_n") > cap, F.col("dropped_raw")).otherwise(0)
+    return per_bucket.agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.when(F.col("bucket_n") > 1, 1).otherwise(0)).alias("n_pair_buckets"),
-        F.sum(
-            F.when(F.col("bucket_n") > cfg.max_bucket_size, 1).otherwise(0)
-        ).alias("n_salted_buckets"),
+        F.sum(F.when(F.col("bucket_n") > cap, 1).otherwise(0)).alias(
+            "n_salted_buckets"
+        ),
+        F.sum(F.when(dropped > 0, 1).otherwise(0)).alias("n_truncated_buckets"),
+        F.sum(dropped).cast("long").alias("n_truncated_members"),
         F.max("bucket_n").alias("max_bucket_n"),
         F.sum(
             (F.col("bucket_n") * (F.col("bucket_n") - 1) / 2).cast("long")

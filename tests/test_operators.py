@@ -98,9 +98,14 @@ def test_salting_caps_hot_bucket(spark):
     sig = compute_signatures(docs, cfg)
     n_pairs = candidate_pairs(sig, cfg).count()
     assert 0 < n_pairs < 100 * 99 // 2
+    # worst case is absolutely bounded: nsalt * C(cap, 2) per bucket
+    assert n_pairs <= cfg.bucket_salt * cfg.max_bucket_size * (cfg.max_bucket_size - 1) // 2
     m = lsh_metrics(sig, cfg).collect()[0]
     assert m["n_salted_buckets"] > 0
     assert m["max_bucket_n"] == 100
+    # 4 salt classes of ~25 docs each, sliced to 10 → truncation surfaced
+    assert m["n_truncated_buckets"] > 0
+    assert m["n_truncated_members"] > 0
 
 
 def test_anti_semi_enrich_joins(spark):
