@@ -525,14 +525,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, strlen(text)::INT AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
         ),
-        # The scale path (LSH∪SimHash∪exact candidates → exact-Jaccard
-        # verify) achieves recall 1.0 on this corpus (every planted pair has
-        # jaccard ≥ 0.875, far above the b=16/r=8 S-curve knee) and
-        # precision 1.0 by construction, so its output provably equals the
-        # exhaustive oracle — value-checked, not just rows-only.
-        "lsh_verified_edges": (
-            f"SELECT src, dst, round(jaccard, 6) AS jaccard FROM ({_EDGES})"
-        ),
+        # The scale path runs LSH∪SimHash on ONE representative per
+        # distinct text (cfg.exact_first) and unions the exact-hash star
+        # edges, so its edge set is: rep-level verified pairs + star
+        # edges. Rep-level recall is 1.0 on this corpus (every planted
+        # pair has jaccard ≥ 0.875, far above the b=16/r=8 S-curve knee)
+        # and precision 1.0 by construction, so the output provably
+        # equals this replayed oracle — value-checked, not rows-only.
+        "lsh_verified_edges": f"""
+            WITH nonempty AS (
+              SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL AND trim(text) != ''
+            ),
+            grp AS (
+              SELECT md5(text) AS k, min(doc_id) AS rep
+              FROM nonempty GROUP BY 1
+            )
+            SELECT src, dst, round(jaccard, 6) AS jaccard FROM ({_EDGES})
+            WHERE src IN (SELECT rep FROM grp)
+              AND dst IN (SELECT rep FROM grp)
+            UNION ALL
+            SELECT g.rep AS src, d.doc_id AS dst, 1.0 AS jaccard
+            FROM nonempty d JOIN grp g
+              ON md5(d.text) = g.k AND d.doc_id > g.rep
+        """,
         "pipeline_clusters": _CLUSTERS,
         # portable-signature oracles: replay MinHash/SimHash bit-for-bit
         "minhash_signatures": f"""

@@ -35,6 +35,17 @@ class DedupConfig:
     #     reference: src/simages/extractor.py:321-342) ---
     jaccard_threshold: float = 0.5  # tau for verified edges
 
+    # Run the near-dup machinery (signatures/LSH/SimHash/verify) on ONE
+    # representative per distinct text; exact copies attach via the
+    # linear exact-hash star layer. Web crawls are 30-50% exact dups, so
+    # this cuts signature compute proportionally and removes
+    # identical-content floods from LSH entirely (a 100k-copy viral page
+    # contributes ONE signature instead of one 100k-member hot bucket).
+    # Cluster output is provably identical; the edge set becomes the
+    # minimal connectivity certificate (star + rep-level near-dup edges)
+    # instead of all ~quadratic within-group pairs.
+    exact_first: bool = True
+
     # --- scale / skew knobs (north_rule: explicit partitioning & skew) ---
     shuffle_partitions: int | None = None  # None = leave session setting
     max_bucket_size: int = 200  # LSH buckets larger than this are capped

@@ -1,14 +1,25 @@
 """End-to-end near-duplicate pipeline — API parity with the reference's
 `find_duplicates` (reference: src/simages/main.py:136-205).
 
-    docs → signatures (MinHash+SimHash, Arrow UDF)
-         → LSH candidates ∪ SimHash candidates ∪ exact-hash edges
-         → exact-Jaccard verify (JVM)
+    docs → [exact-first: one representative per distinct text]
+         → signatures (MinHash+SimHash, Arrow UDF)
+         → LSH candidates ∪ SimHash candidates [∪ exact-hash edges]
+         → exact-Jaccard verify (JVM) [∪ exact-hash star edges]
          → connected components (large-star/small-star)
          → clusters / groups / keep-first policy
 
 Each arrow is a checkpointable stage; pass `cfg.checkpoint_dir` to get
 resume-from-checkpoint with lineage + metrics (north_rule).
+
+With `cfg.exact_first` (default), signatures are computed for ONE
+representative per distinct text and exact copies connect through the
+linear star layer — cluster output is identical (every star edge is a
+true jaccard-1.0 pair; every brute-force ≥τ pair is witnessed by
+star + rep-edge paths), but signature/LSH cost scales with *distinct*
+texts, which at web scale is 2-3× smaller than the corpus and immune
+to identical-content floods. `DedupResult.edges` is then the minimal
+connectivity certificate rather than all within-group pairs (a 10⁵-copy
+page contributes 10⁵-1 edges, not C(10⁵,2)).
 """
 
 from __future__ import annotations
@@ -21,7 +32,7 @@ from simages_spark.checkpoint import CheckpointStore, config_fingerprint
 from simages_spark.config import DedupConfig
 from simages_spark.functions.signatures import compute_signatures
 from simages_spark.operators.connected_components import connected_components
-from simages_spark.operators.exact import exact_dup_edges
+from simages_spark.operators.exact import exact_dup_edges, with_content_hash
 from simages_spark.operators.groups import keep_first_policy
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.simhash_join import simhash_candidates
@@ -38,6 +49,28 @@ class DedupResult:
 
 def build_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return compute_signatures(docs, cfg)
+
+
+def representative_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One representative (min doc_id) per distinct non-empty text.
+
+    The near-dup machinery only needs distinct texts: identical copies
+    share the representative's shingle set exactly, and connectivity to
+    the representative is owned by the exact-hash star layer. One shuffle
+    on the content hash (`any_value(text)` is deterministic — all values
+    in a sha-256 group are byte-identical)."""
+    nonempty = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    return (
+        with_content_hash(nonempty, text_col)
+        .groupBy("text_sha")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.any_value(text_col).alias(text_col),
+        )
+        .select("doc_id", text_col)
+    )
 
 
 def build_candidates(
@@ -73,21 +106,39 @@ def find_duplicates(
     )
 
     fp = config_fingerprint(cfg)
+    sig_docs = representative_docs(docs) if cfg.exact_first else docs
     if store:
         signatures = store.get_or_compute(
-            "signatures", lambda: build_signatures(docs, cfg), fingerprint=fp
+            "signatures", lambda: build_signatures(sig_docs, cfg), fingerprint=fp
         )
     else:
         # signatures feed 4 consumers (bands, simhash, verify×2): without a
         # checkpoint the Arrow UDF would re-run per consumer — persist once
         # (disk-spillable; the parquet checkpoint is the cluster-
         # scale equivalent, reference analog: extractor.py:179-189 cache)
-        signatures = build_signatures(docs, cfg).persist()
+        signatures = build_signatures(sig_docs, cfg).persist()
 
-    candidates = build_candidates(docs, signatures, cfg, use_simhash)
+    if cfg.exact_first:
+        # representatives have pairwise-distinct texts, so the exact-hash
+        # layer moves from candidates into the edge union (star edges are
+        # already-verified jaccard-1.0 pairs — no need to re-verify)
+        cand = candidate_pairs(signatures, cfg)
+        if use_simhash:
+            cand = cand.unionByName(
+                simhash_candidates(signatures, cfg).select("src", "dst")
+            )
+        candidates = cand.dropDuplicates(["src", "dst"])
 
-    def _edges() -> DataFrame:
-        return verify_pairs(candidates, signatures, cfg)
+        def _edges() -> DataFrame:
+            return verify_pairs(candidates, signatures, cfg).unionByName(
+                exact_dup_edges(docs).select("src", "dst", "jaccard")
+            )
+
+    else:
+        candidates = build_candidates(docs, signatures, cfg, use_simhash)
+
+        def _edges() -> DataFrame:
+            return verify_pairs(candidates, signatures, cfg)
 
     # edges feed CC (iterative) and the caller — persist when not stored
     edges = (
