@@ -42,8 +42,11 @@ def measure(cores: int) -> dict:
     from simages_spark.config import DedupConfig
     from simages_spark.functions.signatures import compute_signatures
     from simages_spark.operators.connected_components import connected_components
-    from simages_spark.pipeline import build_candidates
-    from simages_spark.operators.verify import verify_pairs
+    from simages_spark.pipeline import (
+        build_candidates,
+        build_edges,
+        representative_docs,
+    )
     from simages_spark.session import get_spark
     from simages_spark.sources.corpus import generate_pages, mint_doc_ids
 
@@ -63,9 +66,9 @@ def measure(cores: int) -> dict:
     # the pipeline.
     warm = docs.limit(5000).persist()
     warm.count()
-    wsig = compute_signatures(warm, cfg).persist()
+    wsig = compute_signatures(representative_docs(warm), cfg).persist()
     wcand = build_candidates(warm, wsig, cfg).persist()
-    wedges = verify_pairs(wcand, wsig, cfg).persist()
+    wedges = build_edges(wcand, wsig, warm, cfg).persist()
     connected_components(wedges, cfg).count()
     for df in (wedges, wcand, wsig, warm):
         df.unpersist()
@@ -79,7 +82,9 @@ def measure(cores: int) -> dict:
         t0 = time.time()
 
         t = time.time()
-        sig = compute_signatures(docs, cfg).persist()
+        sig = compute_signatures(
+            representative_docs(docs) if cfg.exact_first else docs, cfg
+        ).persist()
         sig.count()
         stages["signatures"] = round(time.time() - t, 2)
 
@@ -89,7 +94,7 @@ def measure(cores: int) -> dict:
         stages["candidates"] = round(time.time() - t, 2)
 
         t = time.time()
-        edges = verify_pairs(cand, sig, cfg).persist()
+        edges = build_edges(cand, sig, docs, cfg).persist()
         n_edges = edges.count()
         stages["verify"] = round(time.time() - t, 2)
 

@@ -28,8 +28,7 @@ from simages_spark.operators.groups import (
     paginate_groups,
 )
 from simages_spark.operators.lsh import lsh_metrics
-from simages_spark.pipeline import build_candidates
-from simages_spark.operators.verify import verify_pairs
+from simages_spark.pipeline import build_candidates, build_edges, representative_docs
 from simages_spark.session import get_spark
 from simages_spark.sources.corpus import ingest as ingest_op, mint_doc_ids
 
@@ -57,11 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--html", help="report: also write a static HTML page here")
     ap.add_argument("--min-len", type=int, default=64,
                     help="substrings: minimum shared-run length (chars)")
+    ap.add_argument("--all-pairs-edges", action="store_true",
+                    help="legacy: signatures for EVERY doc and full "
+                         "within-group edges, instead of one representative "
+                         "per distinct text + linear star edges")
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(f"simages_{args.command}", cores=args.cores)
-    cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir)
+    cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir,
+                      exact_first=not args.all_pairs_edges)
     fp = config_fingerprint(cfg)
     store = CheckpointStore(spark, args.workdir)
     docs = _load_docs(spark, args.input)
@@ -72,11 +76,13 @@ def main(argv: list[str] | None = None) -> int:
         out = store.write("ingested", added)
         print(json.dumps({"ingested_rows": out.count()}))
     elif args.command == "signatures":
+        sig_docs = representative_docs(docs) if cfg.exact_first else docs
         sig = store.get_or_compute(
-            "signatures", lambda: compute_signatures(docs, cfg), fingerprint=fp
+            "signatures", lambda: compute_signatures(sig_docs, cfg), fingerprint=fp
         )
         health = signature_metrics(sig).collect()[0].asDict()
-        print(json.dumps({"signatures": sig.count(), **health,
+        print(json.dumps({"signatures": sig.count(),
+                          "n_corpus_docs": docs.count(), **health,
                           **store.metrics("signatures")}))
     elif args.command == "candidates":
         sig = store.read("signatures")
@@ -89,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         sig = store.read("signatures")
         cand = store.read("candidates")
         edges = store.get_or_compute(
-            "edges", lambda: verify_pairs(cand, sig, cfg), fingerprint=fp
+            "edges", lambda: build_edges(cand, sig, docs, cfg), fingerprint=fp
         )
         clusters = store.get_or_compute(
             "clusters", lambda: connected_components(edges, cfg), fingerprint=fp

@@ -76,15 +76,38 @@ def representative_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def build_candidates(
     docs: DataFrame, signatures: DataFrame, cfg: DedupConfig, use_simhash: bool = True
 ) -> DataFrame:
+    """Near-dup candidate pairs over whatever `signatures` covers.
+
+    With cfg.exact_first the exact-hash layer contributes already-exact
+    star EDGES in `build_edges`, not candidates — representatives have
+    pairwise-distinct texts and identical docs never need verification.
+    Legacy path: exact pairs union in here (cheap, guarantees identical
+    docs pair up even if both LSH and SimHash somehow missed)."""
     cand = candidate_pairs(signatures, cfg)
     if use_simhash:
         cand = cand.unionByName(
             simhash_candidates(signatures, cfg).select("src", "dst")
         )
-    # exact-hash layer is cheap and guarantees identical docs pair up even
-    # if both LSH and SimHash somehow missed (they can't, but free is free)
-    cand = cand.unionByName(exact_dup_edges(docs).select("src", "dst"))
+    if not cfg.exact_first:
+        cand = cand.unionByName(exact_dup_edges(docs).select("src", "dst"))
     return cand.dropDuplicates(["src", "dst"])
+
+
+def build_edges(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+) -> DataFrame:
+    """Verified edges (src, dst, jaccard). With cfg.exact_first, unions
+    the exact-hash star edges — jaccard 1.0 by construction, linear in
+    group size, no re-verification."""
+    edges = verify_pairs(candidates, signatures, cfg)
+    if cfg.exact_first:
+        edges = edges.unionByName(
+            exact_dup_edges(docs).select("src", "dst", "jaccard")
+        )
+    return edges
 
 
 def find_duplicates(
@@ -118,27 +141,10 @@ def find_duplicates(
         # scale equivalent, reference analog: extractor.py:179-189 cache)
         signatures = build_signatures(sig_docs, cfg).persist()
 
-    if cfg.exact_first:
-        # representatives have pairwise-distinct texts, so the exact-hash
-        # layer moves from candidates into the edge union (star edges are
-        # already-verified jaccard-1.0 pairs — no need to re-verify)
-        cand = candidate_pairs(signatures, cfg)
-        if use_simhash:
-            cand = cand.unionByName(
-                simhash_candidates(signatures, cfg).select("src", "dst")
-            )
-        candidates = cand.dropDuplicates(["src", "dst"])
+    candidates = build_candidates(docs, signatures, cfg, use_simhash)
 
-        def _edges() -> DataFrame:
-            return verify_pairs(candidates, signatures, cfg).unionByName(
-                exact_dup_edges(docs).select("src", "dst", "jaccard")
-            )
-
-    else:
-        candidates = build_candidates(docs, signatures, cfg, use_simhash)
-
-        def _edges() -> DataFrame:
-            return verify_pairs(candidates, signatures, cfg)
+    def _edges() -> DataFrame:
+        return build_edges(candidates, signatures, docs, cfg)
 
     # edges feed CC (iterative) and the caller — persist when not stored
     edges = (

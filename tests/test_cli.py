@@ -9,8 +9,7 @@ from simages_spark.config import DedupConfig
 from simages_spark.functions.signatures import compute_signatures
 from simages_spark.operators.connected_components import connected_components
 from simages_spark.operators.groups import keep_first_policy
-from simages_spark.pipeline import build_candidates
-from simages_spark.operators.verify import verify_pairs
+from simages_spark.pipeline import build_candidates, build_edges, representative_docs
 
 CFG = DedupConfig()
 
@@ -21,17 +20,23 @@ def test_stagewise_checkpoint_flow(spark, docs_sf0001, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "wd"))
 
     sig = store.get_or_compute(
-        "signatures", lambda: compute_signatures(docs_sf0001, CFG)
+        "signatures", lambda: compute_signatures(representative_docs(docs_sf0001), CFG)
     )
     assert store.exists("signatures")
     meta = store.metrics("signatures")
-    assert meta["rows"] == docs_sf0001.count()
+    # exact-first: one signature per distinct non-empty text
+    assert meta["rows"] == (
+        docs_sf0001.where("text IS NOT NULL AND trim(text) != ''")
+        .select("text").distinct().count()
+    )
     assert meta["partitions"] >= 1  # per-partition lineage recorded
 
     cand = store.get_or_compute(
         "candidates", lambda: build_candidates(docs_sf0001, sig, CFG)
     )
-    edges = store.get_or_compute("edges", lambda: verify_pairs(cand, sig, CFG))
+    edges = store.get_or_compute(
+        "edges", lambda: build_edges(cand, sig, docs_sf0001, CFG)
+    )
     clusters = store.get_or_compute(
         "clusters", lambda: connected_components(edges, CFG)
     )
