@@ -67,6 +67,8 @@ def main():
     spark = get_spark("profile_1m", cores=cores, shuffle_partitions=cores * 2)
     cfg = DedupConfig()
 
+    from simages_spark.pipeline import representative_docs  # noqa: E402
+
     docs = (
         mint_doc_ids(generate_pages(spark, n_docs, seed=42, partitions=cores * 4))
         .select("doc_id", "text")
@@ -86,7 +88,10 @@ def main():
     ).count()
     print("warmup done", flush=True)
 
-    sig = compute_signatures(docs, cfg).persist()
+    # production path (cfg.exact_first): signatures over representatives
+    reps = representative_docs(docs).persist()
+    t("representatives", reps.count)
+    sig = compute_signatures(reps, cfg).persist()
     t("signatures", sig.count)
     print("sig_metrics:", signature_metrics(sig).collect()[0].asDict(), flush=True)
 
@@ -98,15 +103,19 @@ def main():
     sim = simhash_candidates(sig, cfg).select("src", "dst").persist()
     t("simhash_candidates", sim.count)
     ex = exact_dup_edges(docs).select("src", "dst").persist()
-    t("exact_edges", ex.count)
-    cand = lsh.unionByName(sim).unionByName(ex).dropDuplicates(["src", "dst"]).persist()
+    t("exact_star_edges", ex.count)
+    cand = lsh.unionByName(sim).dropDuplicates(["src", "dst"]).persist()
     t("union_dedup", cand.count)
-    edges = verify_pairs(cand, sig, cfg).persist()
-    t("verify", edges.count)
+    edges = (
+        verify_pairs(cand, sig, cfg)
+        .unionByName(ex.withColumn("jaccard", F.lit(1.0)))
+        .persist()
+    )
+    t("verify+stars", edges.count)
     t("cc", lambda: connected_components(edges, cfg).count())
 
     # true end-to-end (fresh lazy chain, nothing reused but the docs cache)
-    for df in (sig, lsh, sim, ex, cand, edges):
+    for df in (reps, sig, lsh, sim, ex, cand, edges):
         df.unpersist()
     from simages_spark.pipeline import find_duplicates
 
