@@ -41,6 +41,7 @@ from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
 from simages_spark.operators.simhash_join import simhash_candidates
 from simages_spark.operators.suffix import substring_dup_pairs
 from simages_spark.operators.verify import quantile_pairs
+from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.pipeline import find_duplicates
 from simages_spark.streaming import windowed_event_counts
 
@@ -204,6 +205,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters": lambda spark, sf: find_duplicates(
             _docs(spark, sf), CFG
         ).clusters,
+        # J4 at near-dup level — new-batch-vs-corpus incremental dedup
+        # (one band-key equi-join against the maintained signatures; the
+        # continuous-crawl workflow). Deterministic split: docs with
+        # pmod(doc_id, 4) == 0 arrive as the "new batch".
+        "incremental_dedup": lambda spark, sf: incremental_dedup_edges(
+            _docs(spark, sf).where(F.pmod("doc_id", F.lit(4)) == 0),
+            compute_signatures(
+                _docs(spark, sf).where(F.pmod("doc_id", F.lit(4)) != 0), CFG
+            ),
+            CFG,
+        ).select("src", "dst", F.round("jaccard", 6).alias("jaccard")),
         # J1b — SimHash Hamming-ball pairs (exactly Hamming ≤ d by the
         # Manku pigeonhole; oracle = all-pairs bit_count over the
         # portable simhash values)
@@ -555,6 +567,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.doc_id, len(h.hashes) AS num_shingles,
                    coalesce(s.simhash, 0) AS simhash
             FROM ({_HASHED}) h LEFT JOIN ({_SIMHASH}) s USING (doc_id)
+        """,
+        # cross-set brute-force jaccard: new batch (pmod 4 == 0) vs rest.
+        # LSH band agreement captures every pair here (all planted pairs
+        # have jaccard ≥ 0.875 — the lsh_verified_edges argument).
+        "incremental_dedup": f"""
+            SELECT src, dst, round(jaccard, 6) AS jaccard FROM (
+              SELECT a.doc_id AS src, b.doc_id AS dst,
+                     len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+              FROM ({_SHINGLES}) a JOIN ({_SHINGLES}) b
+                ON ((a.doc_id % 4) + 4) % 4 = 0
+               AND ((b.doc_id % 4) + 4) % 4 != 0
+              WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+            ) WHERE jaccard >= {TAU}
         """,
         "simhash_pairs": f"""
             SELECT a.doc_id AS src, b.doc_id AS dst,

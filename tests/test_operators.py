@@ -213,3 +213,22 @@ def test_substring_bruteforce_oracle(spark):
                 ):
                     expected.add((a, b))
     assert got == expected
+
+def test_incremental_dedup_edges(spark):
+    """New batch probed against an existing corpus' signatures: exact
+    copies and near-dups of existing docs surface with exact jaccard;
+    unrelated new docs and within-batch pairs do not."""
+    from simages_spark.operators.incremental import incremental_dedup_edges
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 20 else f"word{i}") for i in range(40))
+    existing = _docs(spark, [(1, base), (2, "totally different page about nothing")])
+    new = _docs(spark, [(10, base), (11, near), (12, "another unrelated new doc"),
+                        (13, "another unrelated new doc")])
+    existing_sig = compute_signatures(existing, CFG)
+    edges = {(r["src"], r["dst"]): r["jaccard"]
+             for r in incremental_dedup_edges(new, existing_sig, CFG).collect()}
+    assert edges[(10, 1)] == 1.0
+    assert 0.7 < edges[(11, 1)] < 0.8
+    # no unrelated-pair edges, and 12/13 (within-batch dup) NOT reported
+    assert set(edges) == {(10, 1), (11, 1)}
