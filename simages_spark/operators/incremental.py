@@ -38,6 +38,7 @@ def incremental_dedup_edges(
     new_docs: DataFrame,
     existing_signatures: DataFrame,
     cfg: DedupConfig | None = None,
+    new_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """edges(src=new doc_id, dst=existing doc_id, jaccard ≥ τ).
 
@@ -46,10 +47,16 @@ def incremental_dedup_edges(
     which is exactly what the probe needs — each distinct existing text
     once). Exact copies of existing docs need no separate exact-hash
     layer: identical texts agree on all 16 bands, so the band join always
-    surfaces them and verify scores them 1.0.
+    surfaces them and verify scores them 1.0. Pass `new_signatures` when
+    the batch's signatures were already computed (the streaming caller
+    appends them to the store anyway — no double UDF pass).
     """
     cfg = cfg or DedupConfig()
-    new_sig = compute_signatures(new_docs, cfg)
+    new_sig = (
+        new_signatures
+        if new_signatures is not None
+        else compute_signatures(new_docs, cfg)
+    )
     nb = band_keys(new_sig, cfg)
     eb = band_keys(existing_signatures, cfg)
     candidates = (

@@ -51,6 +51,72 @@ def stream_signatures(
     )
 
 
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    signatures_dir: str,
+    edges_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    schema: str = DOCS_SCHEMA,
+) -> StreamingQuery:
+    """Streaming batch-vs-corpus NEAR-dup: each micro-batch of incoming
+    docs is probed against the signatures maintained so far (one band-key
+    equi-join, operators/incremental.py), matching edges land in
+    `edges_dir`, and the batch's own signatures are appended to
+    `signatures_dir` so later batches dedup against everything before
+    them — the full continuous-crawl loop, not just exact-URL skipping.
+
+    foreachBatch sinks are at-least-once on retry, so both writes go
+    through dynamic partition-overwrite on `batch_id`: a re-run of the
+    same micro-batch REPLACES its own partition instead of duplicating
+    rows — idempotent, hence effectively exactly-once.
+    """
+    cfg = cfg or DedupConfig()
+    incoming = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        from simages_spark.operators.incremental import incremental_dedup_edges
+
+        new_sig = compute_signatures(
+            batch_df.select("doc_id", "text"), cfg
+        ).persist()
+        try:
+            import os
+
+            if os.path.exists(signatures_dir):
+                existing = batch_df.sparkSession.read.parquet(signatures_dir)
+                edges = incremental_dedup_edges(
+                    None, existing, cfg, new_signatures=new_sig
+                )
+                (
+                    edges.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(edges_dir)
+                )
+            # else: first batch — nothing to dedup against, no edges dir
+            # yet (an empty partitioned write would leave a schema-less
+            # directory); consumers treat a missing dir as zero edges
+            (
+                new_sig.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(signatures_dir)
+            )
+        finally:
+            new_sig.unpersist()
+
+    return (
+        incoming.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"

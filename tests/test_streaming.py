@@ -136,3 +136,45 @@ def test_stream_dedup_exact_stateful(spark, tmp_path):
     q2.awaitTermination()
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 2, 6}  # 5 suppressed by cross-batch state
+
+
+def test_stream_near_dedup(spark, tmp_path):
+    """Each micro-batch is near-dup-probed against all PRIOR batches'
+    signatures; matches append as (src=new, dst=existing) edges; re-runs
+    are idempotent (dynamic partition overwrite per batch_id)."""
+    from simages_spark.streaming import stream_near_dedup
+
+    inp = str(tmp_path / "incoming")
+    sig = str(tmp_path / "sig")
+    edg = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 20 else f"word{i}") for i in range(40))
+
+    # batch 1: seed corpus — no prior signatures, so no edges
+    _write_batch(spark, inp, [(1, base, "en", "s", 0),
+                              (2, "some other unrelated page", "en", "s", 0)])
+    stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
+    assert spark.read.parquet(sig).count() == 2
+    assert not os.path.exists(edg)  # no prior corpus → no edges dir yet
+
+    # batch 2: exact copy + near-dup of doc 1, one fresh doc
+    _write_batch(spark, inp, [(10, base, "en", "s", 0),
+                              (11, near, "en", "s", 0),
+                              (12, "completely new content here", "en", "s", 0)])
+    stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
+    edges = {(r["src"], r["dst"]): round(r["jaccard"], 6)
+             for r in spark.read.parquet(edg).collect()}
+    assert edges[(10, 1)] == 1.0
+    assert 0.7 < edges[(11, 1)] < 0.8
+    assert set(edges) == {(10, 1), (11, 1)}
+    # signature store now covers all batches
+    assert spark.read.parquet(sig).count() == 5
+
+    # batch 3 dedups against batches 1 AND 2
+    _write_batch(spark, inp, [(20, "completely new content here", "en", "s", 0)])
+    stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
+    edges3 = {(r["src"], r["dst"]) for r in spark.read.parquet(edg).collect()}
+    assert (20, 12) in edges3
