@@ -71,12 +71,18 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, cfg: DedupConfig | None = None
+    edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    round_metrics: list | None = None,
 ) -> DataFrame:
     """edges(src, dst, ...) → clusters(doc_id, cluster_id).
 
     cluster_id = min doc_id in the component. Every endpoint of every edge
     receives a label (callers union in singletons if they want all docs).
+    Pass a list as `round_metrics` to receive one (round_no, n_edges)
+    entry per iteration — the north-rule metrics surface for the only
+    iterative stage (rounds ≈ O(log² diameter); see tools/soak_cc.py
+    for the measured diameter dependence).
     """
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
@@ -96,6 +102,8 @@ def connected_components(
             nxt = nxt.localCheckpoint(eager=False)
         fp = _fingerprint(nxt)
         cur = nxt
+        if round_metrics is not None:
+            round_metrics.append((round_no, fp[0]))
         if fp == prev_fp:
             break
         prev_fp = fp
