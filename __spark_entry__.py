@@ -42,6 +42,7 @@ from simages_spark.operators.simhash_join import simhash_candidates
 from simages_spark.operators.suffix import substring_dup_pairs
 from simages_spark.operators.verify import quantile_pairs
 from simages_spark.operators.incremental import incremental_dedup_edges
+from simages_spark.operators.groups import dedup_tier_summary
 from simages_spark.pipeline import find_duplicates
 from simages_spark.streaming import windowed_event_counts
 
@@ -216,6 +217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             CFG,
         ).select("src", "dst", F.round("jaccard", 6).alias("jaccard")),
+        # Tier-dedup attribution: per-tier workload split of the dedup
+        # decision (exact tier vs near tier vs keepers) over the full
+        # pipeline's clusters
+        "dedup_tier_summary": lambda spark, sf: dedup_tier_summary(
+            find_duplicates(_docs(spark, sf), CFG).clusters, _docs(spark, sf), CFG
+        ),
         # J1b — SimHash Hamming-ball pairs (exactly Hamming ≤ d by the
         # Manku pigeonhole; oracle = all-pairs bit_count over the
         # portable simhash values)
@@ -582,6 +589,21 @@ def oracle_sql() -> dict[str, str]:
                AND ((b.doc_id % 4) + 4) % 4 != 0
               WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
             ) WHERE jaccard >= {TAU}
+        """,
+        "dedup_tier_summary": f"""
+            WITH cl AS ({_CLUSTERS}),
+            keep AS (SELECT cluster_id, min(doc_id) AS keeper
+                     FROM cl GROUP BY 1),
+            sha AS (SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text)) AS sha_min
+                    FROM documents)
+            SELECT tier, count(*) AS n_docs FROM (
+              SELECT CASE WHEN c.doc_id = k.keeper THEN 'keeper'
+                          WHEN s.sha_min < c.doc_id THEN 'exact'
+                          ELSE 'near' END AS tier
+              FROM cl c JOIN keep k USING (cluster_id)
+              JOIN sha s USING (doc_id)
+            ) GROUP BY tier
         """,
         "simhash_pairs": f"""
             SELECT a.doc_id AS src, b.doc_id AS dst,

@@ -138,3 +138,38 @@ def keep_first_policy(
         "cluster_id",
         (F.row_number().over(w) == 1).alias("is_keeper"),
     )
+
+
+def dedup_tier_summary(
+    clusters: DataFrame, docs: DataFrame, cfg: DedupConfig | None = None
+) -> DataFrame:
+    """Tier attribution for the dedup decision (the tier-dedup report):
+    every clustered doc is counted as
+
+      - 'keeper' — survives the keep-first policy,
+      - 'exact'  — a byte-identical doc with smaller doc_id exists
+                   (tier 1, the sha-256 layer alone catches it), or
+      - 'near'   — its text is unique; only the near-dup tier
+                   (MinHash/SimHash + verify) could catch it.
+
+    Returns (tier, n_docs), the per-tier workload split — at web scale
+    this is the number that says how much the cheap tier saves the
+    expensive one. One extra shuffle on the content hash; the policy
+    window is reused from keep_first_policy.
+    """
+    from simages_spark.operators.exact import with_content_hash
+
+    policy = keep_first_policy(clusters, docs, cfg)
+    hashed = with_content_hash(docs).select("doc_id", "text_sha")
+    sha_min = hashed.groupBy("text_sha").agg(F.min("doc_id").alias("sha_min"))
+    tiered = (
+        policy.join(hashed, "doc_id")
+        .join(sha_min, "text_sha")
+        .select(
+            F.when(F.col("is_keeper"), F.lit("keeper"))
+            .when(F.col("sha_min") < F.col("doc_id"), F.lit("exact"))
+            .otherwise(F.lit("near"))
+            .alias("tier")
+        )
+    )
+    return tiered.groupBy("tier").agg(F.count("*").alias("n_docs"))

@@ -114,3 +114,21 @@ def test_checkpoint_missing_stage_friendly_error(spark, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError as e:
         assert "producing stage" in str(e)
+
+
+def test_dedup_tier_summary(spark):
+    """Tier attribution: exact copies attributed to tier 1, unique-text
+    cluster members to the near tier, one keeper per cluster."""
+    from simages_spark.operators.groups import dedup_tier_summary
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "aaa"), (3, "aaa almost"), (4, "zzz"), (5, "zzz")],
+        ["doc_id", "text"],
+    )
+    # one cluster {1,2,3} (1-2 exact, 3 near), one cluster {4,5} (exact)
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], ["doc_id", "cluster_id"]
+    )
+    got = {r["tier"]: r["n_docs"]
+           for r in dedup_tier_summary(clusters, docs).collect()}
+    assert got == {"keeper": 2, "exact": 2, "near": 1}
