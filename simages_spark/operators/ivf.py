@@ -96,22 +96,30 @@ def ivf_cosine_pairs(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int = 4096,
+    cell_salt: int = 8,
 ) -> DataFrame:
     """(src, dst, cosine) for co-celled pairs with exact cosine ≥ threshold.
 
     One shuffle on the cell key (the IVF inverted list), exact re-rank on
     the joined pairs. At 10⁹ vectors: n_cells ~ √N keeps lists ~√N long;
-    the codebook stays a broadcast-sized array.
+    the codebook stays a broadcast-sized array. Hot cells (a degenerate
+    codebook or a dense embedding cluster) get the same absolute bound as
+    LSH hot buckets: `bucket_pairs` salt-splits and truncates lists above
+    `max_cell_size`, and `ivf_metrics` surfaces how many cells were
+    capped — bounded recall loss, never silent, never quadratic.
     """
+    from simages_spark.operators.buckets import bucket_pairs
+
     centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     assign = ivf_assignments(embeddings, centroids, nprobe, id_col, vec_col)
-    cands = (
-        assign.select("cell", F.col("vec_id").alias("src"))
-        .join(assign.select("cell", F.col("vec_id").alias("dst")), "cell")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
-    )
+    cands = bucket_pairs(
+        assign.select("cell", "vec_id"),
+        ["cell"],
+        "vec_id",
+        cap=max_cell_size,
+        nsalt=cell_salt,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     base = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     )
@@ -214,10 +222,12 @@ def ivf_metrics(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int = 4096,
 ) -> DataFrame:
     """Inverted-list health: cell-size distribution (skew → hot cells make
     the bucket join quadratic in the hot list — same failure mode as LSH
-    hot buckets, surfaced the same way)."""
+    hot buckets, surfaced the same way, including how many cells exceed
+    the `max_cell_size` cap that `ivf_cosine_pairs` enforces)."""
     centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
     sizes = (
         ivf_assignments(embeddings, centroids, nprobe, id_col, vec_col)
@@ -229,6 +239,9 @@ def ivf_metrics(
         F.max("n").alias("max_cell_n"),
         F.min("n").alias("min_cell_n"),
         F.round(F.avg("n"), 2).alias("avg_cell_n"),
+        F.sum(F.when(F.col("n") > max_cell_size, 1).otherwise(0)).alias(
+            "n_capped_cells"
+        ),
         F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias(
             "candidate_pairs_upper_bound"
         ),

@@ -228,3 +228,24 @@ def test_media_metadata_plumbing(spark):
     assert got[1]["magic"] == "html" and got[2]["magic"] == "png"
     assert got[1]["width"] == 8 and got[1]["channels"] == 3
     assert got[1]["n_bytes"] == 27
+
+
+def test_ivf_hot_cell_absolute_bound(spark):
+    """A degenerate cell (all vectors identical → one hot inverted list)
+    expands to at most nsalt*C(cap,2) pairs, and the cap is surfaced."""
+    import numpy as np
+
+    from simages_spark.operators.ivf import ivf_cosine_pairs, ivf_metrics
+
+    vec = (np.ones(64) / 8.0).tolist()
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(200)], ["vec_id", "embedding"]
+    )
+    pairs = ivf_cosine_pairs(
+        emb, 0.5, n_cells=4, nprobe=1, max_cell_size=10, cell_salt=4
+    )
+    n = pairs.count()
+    assert 0 < n <= 4 * 10 * 9 // 2
+    m = ivf_metrics(emb, n_cells=4, nprobe=1, max_cell_size=10).collect()[0]
+    assert m["n_capped_cells"] >= 1
+    assert m["max_cell_n"] == 200
