@@ -147,19 +147,27 @@ def ann_cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 4096,
+    bucket_salt: int = 8,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: banded hyperplane-LSH candidates,
     exact cosine re-rank. The scale path for 10^9+ vectors — a bucket
     equi-join on (band, band_val) instead of a cross join; exact re-rank
-    keeps precision 1.0, recall set by the band S-curve."""
+    keeps precision 1.0, recall set by the band S-curve. Hot sketch
+    buckets (duplicated embeddings, degenerate directions) get the same
+    absolute bound as every other bucketed path here: salt-split +
+    per-salt-class truncation above `max_bucket_size` via `bucket_pairs`
+    — never quadratic, identical output below the cap."""
+    from simages_spark.operators.buckets import bucket_pairs
+
     sk = hyperplane_sketches(embeddings, dim, bands, bits, seed, id_col, vec_col)
-    cands = (
-        sk.select("band", "band_val", F.col("vec_id").alias("src"))
-        .join(sk.select("band", "band_val", F.col("vec_id").alias("dst")), ["band", "band_val"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
-    )
+    cands = bucket_pairs(
+        sk,
+        ["band", "band_val"],
+        "vec_id",
+        cap=max_bucket_size,
+        nsalt=bucket_salt,
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     return (
         cands.join(base.select(F.col("vec_id").alias("src"), F.col("vec").alias("v_src")), "src")
