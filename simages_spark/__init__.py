@@ -11,7 +11,18 @@ programs plus vectorized Arrow UDFs (no per-row Python).
 """
 
 from simages_spark.config import DedupConfig
-from simages_spark.pipeline import find_duplicates
+from simages_spark.pipeline import (
+    dedup_plan,
+    find_duplicates,
+    representative_docs,
+    top_pairs,
+)
 
-__all__ = ["DedupConfig", "find_duplicates"]
-__version__ = "0.1.0"
+__all__ = [
+    "DedupConfig",
+    "dedup_plan",
+    "find_duplicates",
+    "representative_docs",
+    "top_pairs",
+]
+__version__ = "0.2.0"

@@ -8,9 +8,12 @@ array<long>), no Python: the shingle sets were materialized once by the
 signature UDF and ride along as `shingle_hashes`.
 
 Scale notes: the two joins shuffle candidates on src then dst against the
-signatures table; with signatures checkpointed (bucketed by doc_id at
-cluster scale) these are plain hash joins, and AQE skew-split covers hot
-docs that appear in many candidate pairs. When the shingle-array payload
+signatures table; AQE skew-split covers hot docs that appear in many
+candidate pairs. Writing the signatures checkpoint bucketBy(doc_id)
+provably removes both corpus-sized exchanges from this join's plan —
+measured in tools/bench_bucketed_verify.py (8 → 6 exchanges, identical
+edges); it only pays off where shuffle is cross-executor network, so
+plain parquet stays the local default (numbers in BENCH/BASELINE.md). When the shingle-array payload
 dominates (hot docs replicated per candidate pair, or a checkpointed
 signatures table that must stay slim), `verify_pairs_recompute` trades a
 second text scan over *candidate docs only* for not carrying
