@@ -66,7 +66,10 @@ def bucket_pairs(
     """(keys..., member) → distinct (a, b) pairs co-bucketed by the keys.
 
     Member may be any orderable column (long, struct, ...). Buckets larger
-    than `cap` are salt-split; pairs form only within a salt class.
+    than `cap` are salt-split — pairs form only within a salt class — and
+    each salt class is truncated to its `cap` smallest members, so the
+    worst bucket emits ≤ nsalt·C(cap, 2) pairs regardless of size (see
+    module docstring; callers' metrics surface the truncation).
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
     grouped = (
