@@ -66,6 +66,20 @@ def main() -> None:
     audit("simhash_candidates", simhash_candidates(sig, cfg), full)
     audit("verified_edges", verify_pairs(candidate_pairs(sig, cfg), sig, cfg), full)
     audit("bruteforce_pairs", bruteforce_jaccard_pairs(docs, cfg), full)
+    # the continuous-crawl probe: batch signatures vs the corpus store
+    from pyspark.sql import functions as F
+
+    from simages_spark.operators.incremental import incremental_dedup_edges
+
+    audit(
+        "incremental_probe",
+        incremental_dedup_edges(
+            docs.where(F.pmod("doc_id", F.lit(4)) == 0),
+            compute_signatures(docs.where(F.pmod("doc_id", F.lit(4)) != 0), cfg),
+            cfg,
+        ),
+        full,
+    )
     # column pruning check: a 2-column projection must not read text/html
     audit("pruned_scan", docs.select("doc_id", "lang"), full)
     spark.stop()
