@@ -14,28 +14,68 @@ from pyspark.sql import DataFrame, Window, functions as F
 from simages_spark.config import DedupConfig
 
 
-def duplicate_groups(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+def duplicate_groups(
+    clusters: DataFrame, docs: DataFrame, max_members: int = 1000
+) -> DataFrame:
     """clusters(doc_id, cluster_id) × docs metadata → groups.
 
-    groups(cluster_id, total, items array<struct>) — items sorted by the
-    deterministic keeper rank so items[0] is the keeper, mirroring the
-    Mongo `$push` order contract (reference: src/simages/duplicate_finder.py:264-272).
+    groups(cluster_id, total, items array<struct>) — items ordered by the
+    keep-first keeper rank (warc_ts asc NULLS LAST, doc_id asc — EXACTLY
+    `keep_first_policy`'s window order, so items[0] is always the policy
+    keeper and the report highlight can trust it; the previous
+    sort_array-over-struct ordering put null warc_ts FIRST and could
+    highlight a non-keeper). Mirrors the Mongo `$push` order contract
+    (reference: src/simages/duplicate_finder.py:264-272).
+
+    Scale bound: a viral 10⁵-copy cluster must not materialize a
+    10⁵-element array in one aggregation row, so only the first
+    `max_members` members (by keeper rank) are collected. `total` always
+    carries the TRUE member count — `total > size(items)` marks a
+    truncated group, and `group_metrics` surfaces how many groups were
+    capped (never silent, same contract as the LSH bucket caps). Note
+    `same_time_filter` inspects materialized items only; run it on
+    groups built with a cap above the largest cluster of interest.
     """
-    # keeper-rank columns lead the struct so sort_array orders members by
-    # (warc_ts, doc_id) — no duplicate fields (ambiguous-reference error)
     lead = ["warc_ts"] if "warc_ts" in docs.columns else []
     member_cols = [c for c in docs.columns if c != "doc_id" and c not in lead]
     joined = clusters.join(docs, "doc_id")
-    item = F.struct(
-        *[F.col(c) for c in lead], F.col("doc_id"), *[F.col(c) for c in member_cols]
+    order = []
+    if lead:
+        order.append(F.col("warc_ts").asc_nulls_last())
+    order.append(F.col("doc_id").asc())
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    ranked = joined.withColumn("_rk", F.row_number().over(w))
+    fields = [*lead, "doc_id", *member_cols]
+    # rank leads the collected struct so sort_array orders by it (distinct
+    # within a group → deterministic), then the rank field is stripped;
+    # collect_list drops the null produced by `when` for rank > cap, so
+    # the agg buffer never holds more than max_members members per group
+    item = F.struct(F.col("_rk"), *[F.col(c) for c in fields])
+    grouped = ranked.groupBy("cluster_id").agg(
+        F.count("*").alias("total"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rk") <= max_members, item))
+        ).alias("_items"),
     )
-    return (
-        joined.groupBy("cluster_id")
-        .agg(
-            F.count("*").alias("total"),
-            F.sort_array(F.collect_list(item)).alias("items"),
-        )
-        .where(F.col("total") > 1)
+    strip = F.transform(
+        F.col("_items"), lambda s: F.struct(*[s[c].alias(c) for c in fields])
+    )
+    return grouped.select(
+        "cluster_id", "total", strip.alias("items")
+    ).where(F.col("total") > 1)
+
+
+def group_metrics(groups: DataFrame) -> DataFrame:
+    """Truncation visibility for `duplicate_groups` (north_rule: metrics —
+    a capped report says so): (n_groups, n_capped_groups, max_total,
+    max_materialized)."""
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("total") > F.size("items")).cast("long")).alias(
+            "n_capped_groups"
+        ),
+        F.max("total").alias("max_total"),
+        F.max(F.size("items")).alias("max_materialized"),
     )
 
 

@@ -34,6 +34,53 @@ def test_same_time_filter_sentinel(spark):
     assert kept == {10, 30}
 
 
+def test_group_items_keeper_first_null_ts(spark):
+    """items[0] must be the keep_first_policy keeper even when a member
+    has a null warc_ts (round-2 advice: struct sort_array put nulls FIRST
+    while the policy window orders asc_nulls_last)."""
+    from simages_spark.operators.groups import keep_first_policy
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], ["doc_id", "cluster_id"]
+    )
+    docs = spark.createDataFrame(
+        [(1, None, "a"), (2, 200, "b"), (3, 100, "c")],
+        "doc_id long, warc_ts long, text string",
+    )
+    g = duplicate_groups(clusters, docs).collect()[0]
+    # keeper rank: ts=100 (doc 3), ts=200 (doc 2), null LAST (doc 1)
+    assert [it["doc_id"] for it in g["items"]] == [3, 2, 1]
+    keeper = {
+        r["doc_id"]
+        for r in keep_first_policy(clusters, docs).collect()
+        if r["is_keeper"]
+    }
+    assert g["items"][0]["doc_id"] in keeper
+
+
+def test_group_member_cap_flood(spark):
+    """A 5000-copy cluster materializes only max_members items; total
+    keeps the true count and group_metrics surfaces the truncation."""
+    from simages_spark.operators.groups import group_metrics
+
+    n = 5000
+    clusters = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("cluster_id")
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    groups = duplicate_groups(clusters, docs, max_members=10)
+    g = groups.collect()[0]
+    assert g["total"] == n
+    assert len(g["items"]) == 10
+    # capped members are the 10 lowest doc_ids (keeper rank order)
+    assert [it["doc_id"] for it in g["items"]] == list(range(10))
+    m = group_metrics(groups).collect()[0]
+    assert m["n_capped_groups"] == 1 and m["max_total"] == n
+    assert m["max_materialized"] == 10
+
+
 def test_paginate_groups(spark):
     groups = spark.createDataFrame(
         [(i, 100 - i) for i in range(1, 13)], ["cluster_id", "total"]
