@@ -51,6 +51,108 @@ def stream_signatures(
     )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct on any
+    Spark-visible filesystem (HDFS/S3A/local), unlike os.path.exists
+    which only sees the driver's local FS (round-2 advice item 1)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def process_near_dedup_batch(
+    batch_df,
+    batch_id: int,
+    signatures_dir: str,
+    index_dir: str,
+    edges_dir: str,
+    cfg: DedupConfig,
+    include_within_batch: bool = False,
+) -> None:
+    """One micro-batch of the continuous-crawl loop (factored out of the
+    stream wiring so retry semantics are unit-testable).
+
+    Probes the batch against the maintained probe index
+    (operators/sig_index.py — NOT a store-wide band-key recompute), writes
+    matching edges, then appends the batch's signatures and index keys.
+
+    Retry safety (effectively exactly-once): all three writes are dynamic
+    partition-overwrites on `batch_id`, so a re-run REPLACES its own
+    partitions; and the store/index reads filter `batch_id < current` —
+    if a failed attempt already wrote this batch's partitions, the re-run
+    still probes exactly the pre-batch state instead of seeing the
+    batch's own signatures as "existing" (which would emit within-batch
+    edges the cross-corpus contract excludes). Batch ids are monotonic,
+    so the filter is a pure partition prune.
+    """
+    from simages_spark.operators.incremental import incremental_dedup_edges
+    from simages_spark.operators.sig_index import probe_keys
+
+    spark = batch_df.sparkSession
+    new_sig = compute_signatures(batch_df.select("doc_id", "text"), cfg).persist()
+    try:
+        if _hadoop_path_exists(spark, signatures_dir):
+            existing = spark.read.parquet(signatures_dir).where(
+                F.col("batch_id") < batch_id
+            )
+            existing_index = (
+                spark.read.parquet(index_dir).where(F.col("batch_id") < batch_id)
+                if _hadoop_path_exists(spark, index_dir)
+                else None
+            )
+            edges = incremental_dedup_edges(
+                None,
+                existing,
+                cfg,
+                new_signatures=new_sig,
+                existing_index=existing_index,
+                include_within_batch=include_within_batch,
+            )
+            (
+                edges.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(edges_dir)
+            )
+        elif include_within_batch:
+            (
+                _within_first_batch_edges(new_sig, cfg)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(edges_dir)
+            )
+        # else: first batch, cross-corpus only — nothing to dedup against,
+        # no edges dir yet (an empty partitioned write would leave a
+        # schema-less directory); consumers treat a missing dir as empty
+        (
+            new_sig.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(signatures_dir)
+        )
+        (
+            probe_keys(new_sig, cfg)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+    finally:
+        new_sig.unpersist()
+
+
+def _within_first_batch_edges(new_sig, cfg: DedupConfig):
+    from simages_spark.operators.incremental import within_batch_edges
+
+    return within_batch_edges(new_sig, cfg)
+
+
 def stream_near_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -59,55 +161,35 @@ def stream_near_dedup(
     checkpoint_dir: str,
     cfg: DedupConfig | None = None,
     schema: str = DOCS_SCHEMA,
+    index_dir: str | None = None,
+    include_within_batch: bool = False,
 ) -> StreamingQuery:
-    """Streaming batch-vs-corpus NEAR-dup: each micro-batch of incoming
-    docs is probed against the signatures maintained so far (one band-key
-    equi-join, operators/incremental.py), matching edges land in
-    `edges_dir`, and the batch's own signatures are appended to
-    `signatures_dir` so later batches dedup against everything before
-    them — the full continuous-crawl loop, not just exact-URL skipping.
+    """Streaming continuous-crawl NEAR-dup: each micro-batch of incoming
+    docs is probed against the probe index maintained so far (one slim
+    equi-join, operators/sig_index.py), matching edges land in
+    `edges_dir`, and the batch's signatures + index keys are appended so
+    later batches dedup against everything before them. With
+    `include_within_batch`, batch-internal near-dup pairs are emitted
+    too, so the cumulative edge set over all batches equals a
+    from-scratch run on the union — the full crawl loop in one pass.
 
-    foreachBatch sinks are at-least-once on retry, so both writes go
-    through dynamic partition-overwrite on `batch_id`: a re-run of the
-    same micro-batch REPLACES its own partition instead of duplicating
-    rows — idempotent, hence effectively exactly-once.
+    `index_dir` defaults to `signatures_dir + "_index"`. See
+    `process_near_dedup_batch` for the retry-safety contract.
     """
     cfg = cfg or DedupConfig()
+    index_dir = index_dir or signatures_dir.rstrip("/") + "_index"
     incoming = spark.readStream.schema(schema).parquet(input_dir)
 
     def process(batch_df, batch_id: int) -> None:
-        from simages_spark.operators.incremental import incremental_dedup_edges
-
-        new_sig = compute_signatures(
-            batch_df.select("doc_id", "text"), cfg
-        ).persist()
-        try:
-            import os
-
-            if os.path.exists(signatures_dir):
-                existing = batch_df.sparkSession.read.parquet(signatures_dir)
-                edges = incremental_dedup_edges(
-                    None, existing, cfg, new_signatures=new_sig
-                )
-                (
-                    edges.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
-                    .parquet(edges_dir)
-                )
-            # else: first batch — nothing to dedup against, no edges dir
-            # yet (an empty partitioned write would leave a schema-less
-            # directory); consumers treat a missing dir as zero edges
-            (
-                new_sig.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(signatures_dir)
-            )
-        finally:
-            new_sig.unpersist()
+        process_near_dedup_batch(
+            batch_df,
+            batch_id,
+            signatures_dir,
+            index_dir,
+            edges_dir,
+            cfg,
+            include_within_batch,
+        )
 
     return (
         incoming.writeStream.foreachBatch(process)

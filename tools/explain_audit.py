@@ -66,20 +66,70 @@ def main() -> None:
     audit("simhash_candidates", simhash_candidates(sig, cfg), full)
     audit("verified_edges", verify_pairs(candidate_pairs(sig, cfg), sig, cfg), full)
     audit("bruteforce_pairs", bruteforce_jaccard_pairs(docs, cfg), full)
-    # the continuous-crawl probe: batch signatures vs the corpus store
+    # the continuous-crawl probe, in its DEPLOYED shape: signatures and
+    # the slim probe index read back from storage (not recomputed), so
+    # the plan shows what a batch actually touches — index rows + payload
+    # for matched docs only
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from simages_spark.operators.incremental import incremental_dedup_edges
-
-    audit(
-        "incremental_probe",
-        incremental_dedup_edges(
-            docs.where(F.pmod("doc_id", F.lit(4)) == 0),
-            compute_signatures(docs.where(F.pmod("doc_id", F.lit(4)) != 0), cfg),
-            cfg,
-        ),
-        full,
+    from simages_spark.operators.sig_index import (
+        probe_keys,
+        read_probe_index,
+        write_probe_index,
+        write_probe_index_bucketed,
     )
+
+    tmp = tempfile.mkdtemp(prefix="audit_sigidx_")
+    try:
+        batch_docs = docs.where(F.pmod("doc_id", F.lit(4)) == 0)
+        store_docs = docs.where(F.pmod("doc_id", F.lit(4)) != 0)
+        compute_signatures(store_docs, cfg).write.mode("overwrite").parquet(
+            f"{tmp}/signatures"
+        )
+        stored_sig = spark.read.parquet(f"{tmp}/signatures")
+        write_probe_index(stored_sig, f"{tmp}/index", cfg)
+        audit(
+            "incremental_probe_indexed",
+            incremental_dedup_edges(
+                batch_docs,
+                stored_sig,
+                cfg,
+                existing_index=read_probe_index(spark, f"{tmp}/index"),
+            ),
+            full,
+        )
+        # cluster-scale layout: bucketed index table; with the batch side
+        # repartitioned to the bucket count the store side needs NO
+        # exchange (expect exactly 1 Exchange — the batch side)
+        spark.sql("DROP TABLE IF EXISTS audit_probe_index")
+        write_probe_index_bucketed(stored_sig, "audit_probe_index", cfg, n_buckets=8)
+        nk = probe_keys(compute_signatures(batch_docs, cfg), cfg).repartition(
+            8, "pkey"
+        )
+        # force the big-batch regime (no broadcast) to show the bucketed
+        # table's property: the ONLY exchange is the batch side's — the
+        # store-side index is read pre-bucketed, never shuffled
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            audit(
+                "bucketed_index_join_bigbatch",
+                nk.select("pkey", F.col("doc_id").alias("src")).join(
+                    spark.table("audit_probe_index").select(
+                        "pkey", F.col("doc_id").alias("dst")
+                    ),
+                    "pkey",
+                ),
+                full,
+            )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS audit_probe_index")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     # column pruning check: a 2-column projection must not read text/html
     audit("pruned_scan", docs.select("doc_id", "lang"), full)
     spark.stop()
