@@ -44,6 +44,13 @@ from simages_spark.operators.verify import quantile_pairs
 from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.operators.groups import dedup_tier_summary
 from simages_spark.pipeline import find_duplicates
+from simages_spark.relational import (
+    brand_volume,
+    customer_order_ranks,
+    pricing_summary,
+    region_revenue,
+    top_customers,
+)
 from simages_spark.streaming import windowed_event_counts
 
 CFG = DedupConfig()
@@ -292,6 +299,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # values are timezone-independent)
         "windowed_event_counts": lambda spark, sf: windowed_event_counts(
             spark.read.parquet(f"{sf}/events.parquet")
+        ),
+        # --- relational breadth over the star-schema tables (broadcast
+        # fact⋈dimension joins, partial aggs, keyed windows — the plan
+        # shapes are asserted in tools/explain_audit.py) ---
+        "tpch_pricing_summary": lambda spark, sf: pricing_summary(
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+        ),
+        "tpch_region_revenue": lambda spark, sf: region_revenue(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+            spark.read.parquet(f"{sf}/region.parquet"),
+        ),
+        "tpch_top_customers": lambda spark, sf: top_customers(
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+        ),
+        "tpch_order_ranks": lambda spark, sf: customer_order_ranks(
+            spark.read.parquet(f"{sf}/orders.parquet")
+        ),
+        "tpch_brand_volume": lambda spark, sf: brand_volume(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/part.parquet"),
         ),
         # A7 support — covariance entries (the SQL-checkable half of PCA)
         "embedding_covariance": lambda spark, sf: embedding_covariance(
@@ -772,6 +804,77 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n,
                    round(sum(value), 6) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        # exact decimal sums cast to double at the end — bit-identical to
+        # the Spark side at any parallelism (see simages_spark/relational.py)
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_region_revenue": """
+            SELECT r.r_name, n.n_name,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2))
+                               - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY r.r_name, n.n_name
+        """,
+        "tpch_top_customers": """
+            SELECT c.c_custkey AS custkey, c.c_name AS name,
+                   n.n_name AS nation, t.total_spent, t.n_orders
+            FROM (
+              SELECT o_custkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_spent,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey
+            ) t
+            JOIN customer c ON t.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY t.total_spent DESC, custkey LIMIT 10
+        """,
+        "tpch_order_ranks": """
+            SELECT custkey, orderkey, totalprice, rnk FROM (
+              SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                     o_totalprice AS totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey ASC) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "tpch_brand_volume": """
+            SELECT p.p_brand,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         "embedding_covariance": """
             SELECT i, j, round(covar_pop(a, b), 6) AS cov FROM (

@@ -130,6 +130,30 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS audit_probe_index")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # relational: dimensions must broadcast, facts must not; the TPC-H Q1
+    # shape must push the shipdate filter into the scan and prune columns
+    from simages_spark.relational import (
+        brand_volume,
+        pricing_summary,
+        region_revenue,
+        top_customers,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    audit("tpch_pricing_summary", pricing_summary(lineitem), full)
+    audit(
+        "tpch_region_revenue",
+        region_revenue(lineitem, orders, customer, nation, region),
+        full,
+    )
+    audit("tpch_top_customers", top_customers(orders, customer, nation), full)
+    audit("tpch_brand_volume", brand_volume(lineitem, part), full)
+
     # column pruning check: a 2-column projection must not read text/html
     audit("pruned_scan", docs.select("doc_id", "lang"), full)
     spark.stop()
