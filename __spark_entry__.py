@@ -39,7 +39,7 @@ from simages_spark.operators.joins import enrich_pairs
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
 from simages_spark.operators.simhash_join import simhash_candidates
-from simages_spark.operators.suffix import substring_dup_pairs
+from simages_spark.operators.suffix import substring_dup_pairs, substring_dup_spans
 from simages_spark.operators.verify import quantile_pairs
 from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.operators.groups import dedup_tier_summary
@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": lambda spark, sf: substring_dup_pairs(
             _docs(spark, sf), min_len=64
         ).select("src", "dst"),
+        # J7b with spans: every maximal shared ≥64-char run with its
+        # aligned 0-based positions — the boilerplate-removal output
+        # (oracle = diagonal-chain grouping of the window self-join)
+        "substring_spans": lambda spark, sf: substring_dup_spans(
+            _docs(spark, sf), min_len=64
+        ),
         # ANN over embeddings (hyperplane-LSH bucketed, exact re-rank).
         # Quantized Rademacher sketches are exact integer math, so the
         # oracle replays the bucketing and the output value-checks even
@@ -661,6 +667,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS src, b.doc_id AS dst
             FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # maximal shared runs with spans: a maximal run == a maximal
+        # diagonal chain (consecutive ia at fixed ia-ib) of matching
+        # 64-char windows; islands via the ia - row_number() trick
+        "substring_spans": """
+            WITH pos AS (
+              SELECT doc_id, text, unnest(range(1, length(text) - 62)) AS i
+              FROM documents WHERE length(text) >= 64
+            ),
+            w AS (SELECT doc_id, i, substr(text, i, 64) AS win FROM pos),
+            m AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst, a.i AS ia, b.i AS ib
+              FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+            ),
+            d AS (
+              SELECT src, dst, ia, ib, ia - ib AS diag,
+                     ia - row_number() OVER (PARTITION BY src, dst, ia - ib
+                                             ORDER BY ia) AS grp
+              FROM m
+            )
+            SELECT src, dst,
+                   CAST(min(ia) - 1 AS INT) AS pos_src,
+                   CAST(min(ib) - 1 AS INT) AS pos_dst,
+                   CAST(max(ia) - min(ia) + 64 AS INT) AS run_len
+            FROM d GROUP BY src, dst, diag, grp
         """,
         # replayed hyperplane buckets + exact cosine re-rank
         "ann_cosine_pairs": f"""

@@ -49,7 +49,23 @@ class CheckpointStore:
         return os.path.join(self.root, f"{name}.meta.json")
 
     def exists(self, name: str) -> bool:
-        return os.path.exists(self._meta_path(name))
+        # both the meta AND the data dir: a crash in the swap window can
+        # leave a stale meta pointing at a missing/renamed-away data dir —
+        # treat that as "stage absent" (recompute), never as corruption
+        return os.path.exists(self._meta_path(name)) and os.path.exists(
+            self._path(name)
+        )
+
+    def _sweep_stale(self, name: str) -> None:
+        """Remove leftovers of writes that died mid-flight (.tmp-*) and
+        swaps that died before cleanup (.old-*)."""
+        import glob
+        import shutil
+
+        for d in glob.glob(self._path(f"{name}.tmp-*")) + glob.glob(
+            self._path(f"{name}.old-*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
 
     def write(
         self,
@@ -58,12 +74,30 @@ class CheckpointStore:
         run_id: str | None = None,
         fingerprint: str | None = None,
     ) -> DataFrame:
+        """Snapshot-atomic stage write: the job lands in `name.tmp-<run>`,
+        is swapped into place with directory renames, and the meta file is
+        replaced LAST (atomic os.replace). A kill at any point leaves
+        either the previous snapshot fully readable or (only inside the
+        two-rename swap window) no stage at all — never a half-replaced
+        directory that a resume would read as the stage's output
+        (round-2 verdict item 7; mode("overwrite") deletes the old data
+        before the new job finishes, so a mid-write kill used to destroy
+        the snapshot being replaced)."""
+        import shutil
+
         run_id = run_id or f"run-{int(time.time())}"
+        self._sweep_stale(name)
         with_lineage = df.withColumn("part_id", F.spark_partition_id()).withColumn(
             "stage_run_id", F.lit(run_id)
         )
-        with_lineage.write.mode("overwrite").parquet(self._path(name))
-        out = self.spark.read.parquet(self._path(name))
+        tmp = self._path(f"{name}.tmp-{run_id}")
+        final = self._path(name)
+        old = self._path(f"{name}.old-{run_id}")
+        with_lineage.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        out = self.spark.read.parquet(final)
         meta = {
             "name": name,
             "run_id": run_id,
@@ -73,8 +107,11 @@ class CheckpointStore:
             "written_at_unix": time.time(),
             "schema": out.schema.simpleString(),
         }
-        with open(self._meta_path(name), "w") as f:
+        meta_tmp = self._meta_path(name) + f".tmp-{run_id}"
+        with open(meta_tmp, "w") as f:
             json.dump(meta, f, indent=2)
+        os.replace(meta_tmp, self._meta_path(name))
+        shutil.rmtree(old, ignore_errors=True)
         return out.drop("part_id", "stage_run_id")
 
     def read(self, name: str) -> DataFrame:

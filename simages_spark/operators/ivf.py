@@ -177,6 +177,7 @@ def ivf_knn(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_list_size: int = 4096,
 ) -> DataFrame:
     """Per-query approximate top-k — the search-style ANN API (the
     all-pairs form is `ivf_cosine_pairs`). Standard IVF shape: corpus
@@ -188,9 +189,24 @@ def ivf_knn(
     `ivf_cosine_pairs` (lowest-id codebook, integer-dot assignment, ties
     on rounded cosine broken by corpus id). At scale the per-query window
     partitions by q_id — no global sort.
+
+    Hot-cell bound (round-2 advice item 5: a degenerate codebook that
+    lands the corpus in one cell would make every probing query's
+    candidate list corpus-sized — per-query brute force): inverted lists
+    are truncated to `max_list_size` members, keeping the lowest vec_ids
+    (deterministic, SQL-replayable). Bounded recall loss, surfaced by
+    `ivf_metrics` (`n_capped_cells` with the same threshold) — never
+    silent, never quadratic.
     """
     centroids = ivf_centroids(corpus, n_cells, id_col, vec_col)
     c_assign = ivf_assignments(corpus, centroids, 1, id_col, vec_col)
+    if max_list_size is not None:
+        wl = Window.partitionBy("cell").orderBy("vec_id")
+        c_assign = (
+            c_assign.withColumn("_r", F.row_number().over(wl))
+            .where(F.col("_r") <= max_list_size)
+            .drop("_r")
+        )
     q_assign = ivf_assignments(queries, centroids, nprobe, id_col, vec_col)
     cand = (
         q_assign.select("cell", F.col("vec_id").alias("q_id"))

@@ -204,7 +204,7 @@ def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_src, out_dst, out_len = [], [], []
+            out_src, out_dst, out_ps, out_pd, out_len = [], [], [], [], []
             for src, dst, pa, pb, ta, tb in zip(
                 pdf["src"], pdf["dst"], pdf["pos_src"], pdf["pos_dst"],
                 pdf["text_src"], pdf["text_dst"],
@@ -223,20 +223,50 @@ def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFr
                 ext_l = int(np.argmax(neq)) if neq.any() else nl
                 out_src.append(src)
                 out_dst.append(dst)
+                out_ps.append(pa - ext_l)
+                out_pd.append(pb - ext_l)
                 out_len.append(win + ext_r + ext_l)
             yield pd.DataFrame(
                 {
                     "src": pd.Series(out_src, dtype="int64"),
                     "dst": pd.Series(out_dst, dtype="int64"),
+                    "pos_src": pd.Series(out_ps, dtype="int32"),
+                    "pos_dst": pd.Series(out_pd, dtype="int32"),
                     "run_len": pd.Series(out_len, dtype="int32"),
                 }
             )
 
-    runs = joined.mapInPandas(run, schema="src long, dst long, run_len int")
-    return (
-        runs.where(F.col("run_len") >= min_len)
-        .groupBy("src", "dst")
-        .agg(F.max("run_len").alias("run_len"))
+    runs = joined.mapInPandas(
+        run,
+        schema="src long, dst long, pos_src int, pos_dst int, run_len int",
+    )
+    # two anchors inside one shared run both extend to the SAME maximal
+    # (start, start, len) triple — dedup yields exactly the maximal runs
+    return runs.where(F.col("run_len") >= min_len).dropDuplicates(
+        ["src", "dst", "pos_src", "pos_dst", "run_len"]
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 64,
+    max_docs_per_window: int = 1000,
+) -> DataFrame:
+    """Every maximal shared run ≥ min_len chars, WITH its aligned spans:
+    (src < dst, pos_src, pos_dst, run_len) — positions 0-based codepoint
+    offsets. This is what a boilerplate-removal consumer acts on (the
+    reference's analog output is the duplicated region itself); the
+    pair-level view `substring_dup_pairs` is the groupBy-max of this.
+
+    Exactness: a maximal run corresponds 1:1 to a maximal diagonal chain
+    of matching min_len-char windows (the brute-force oracle's form), and
+    every run ≥ min_len contains a winnowing anchor at the same relative
+    offset in both docs (module docstring), whose extension recovers
+    exactly that maximal run — so the emitted span set equals the
+    oracle's. Multiple anchors inside one run dedup to one span row.
+    """
+    return _substring_matches(docs, min_len, max_docs_per_window).select(
+        "src", "dst", "pos_src", "pos_dst", "run_len"
     )
 
 
@@ -252,6 +282,19 @@ def substring_dup_pairs(
     the "remove this boilerplate everywhere" case, better served by the
     exact-hash layer. Not silent: `suffix_metrics` surfaces them.
     """
+    return (
+        _substring_matches(docs, min_len, max_docs_per_window)
+        .groupBy("src", "dst")
+        .agg(F.max("run_len").alias("run_len"))
+        .select("src", "dst", "run_len")
+    )
+
+
+def _substring_matches(
+    docs: DataFrame,
+    min_len: int = 64,
+    max_docs_per_window: int = 1000,
+) -> DataFrame:
     from simages_spark.operators.buckets import bucket_pairs
 
     # localCheckpoint: the anchor UDF (the expensive Python stage) runs
@@ -285,7 +328,7 @@ def substring_dup_pairs(
             F.col("b.pos").alias("pos_dst"),
         )
     )
-    return _extend_matches(docs, matches, min_len).select("src", "dst", "run_len")
+    return _extend_matches(docs, matches, min_len)
 
 
 def suffix_metrics(docs: DataFrame, min_len: int = 64) -> DataFrame:

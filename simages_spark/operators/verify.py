@@ -159,6 +159,11 @@ def quantile_pairs(edges: DataFrame, q: float) -> DataFrame:
 
     The edge set is consumed twice (threshold scan + filter); persist so
     an expensive upstream (e.g. the brute-force oracle join) runs once.
+    Cache lifetime is owned by the CALLER: the cached edges block stays
+    until `edges.unpersist()` or session end — a long-lived session
+    issuing many quantile_pairs calls over different edge sets should
+    unpersist each input once the filtered result is materialized
+    (same contract for the recomputed `sets` in verify_pairs_recompute).
     """
     edges = edges.persist()
     thresh = edges.agg(

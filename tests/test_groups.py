@@ -163,6 +163,35 @@ def test_checkpoint_missing_stage_friendly_error(spark, tmp_path):
         assert "producing stage" in str(e)
 
 
+def test_checkpoint_write_crash_atomic(spark, tmp_path):
+    """A write killed mid-flight must leave the previous snapshot fully
+    readable: (a) a dead .tmp-* dir is ignored and swept; (b) a stale
+    meta whose data dir vanished (kill inside the swap window) reads as
+    stage-absent and recomputes instead of erroring."""
+    import os
+    import shutil
+
+    from simages_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "ck3"))
+    store.write("s", spark.createDataFrame([(1,)], ["x"]), run_id="r1")
+
+    # (a) simulate a write that died during the tmp job
+    dead_tmp = os.path.join(str(tmp_path / "ck3"), "s.tmp-r2")
+    os.makedirs(dead_tmp)
+    open(os.path.join(dead_tmp, "part-00000.parquet"), "w").write("garbage")
+    assert store.get_or_compute("s", lambda: 1 / 0).collect()[0]["x"] == 1
+    store.write("s", spark.createDataFrame([(2,)], ["x"]), run_id="r3")
+    assert not os.path.exists(dead_tmp)  # swept by the next write
+    assert store.read("s").collect()[0]["x"] == 2
+
+    # (b) kill inside the swap window: data dir gone, meta still present
+    shutil.rmtree(os.path.join(str(tmp_path / "ck3"), "s"))
+    assert not store.exists("s")
+    got = store.get_or_compute("s", lambda: spark.createDataFrame([(3,)], ["x"]))
+    assert got.collect()[0]["x"] == 3
+
+
 def test_dedup_tier_summary(spark):
     """Tier attribution: exact copies attributed to tier 1, unique-text
     cluster members to the near tier, one keeper per cluster."""

@@ -232,3 +232,51 @@ def test_incremental_dedup_edges(spark):
     assert 0.7 < edges[(11, 1)] < 0.8
     # no unrelated-pair edges, and 12/13 (within-batch dup) NOT reported
     assert set(edges) == {(10, 1), (11, 1)}
+
+
+def test_decode_image_codec_autodetect():
+    """Real decode when a codec is importable; declared NotImplementedError
+    otherwise; the fake stub works either way (plumbing fixture)."""
+    import numpy as np
+    import pytest
+
+    from simages_spark.functions.multimodal import codec_available, decode_image
+
+    stub = decode_image(b"some bytes", fake=True)
+    assert stub.shape == (8, 8, 3) and stub.dtype == np.uint8
+    if codec_available():
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+        arr = decode_image(buf.getvalue())
+        assert arr.shape == (3, 4, 3) and arr[0, 0, 0] == 10
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG....")
+
+
+def test_ivf_knn_hot_list_cap(spark):
+    """With max_list_size=1 every inverted list keeps only its lowest
+    vec_id, so no query can see a corpus-sized candidate list even under
+    a degenerate codebook; uncapped output is unchanged for normal data."""
+    import numpy as np
+
+    from simages_spark.operators.ivf import ivf_knn
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where("vec_id % 10 = 0")
+    capped = ivf_knn(q, emb, k=5, n_cells=4, nprobe=2, max_list_size=1)
+    per_q = {}
+    for r in capped.collect():
+        per_q.setdefault(r["q_id"], []).append(r["vec_id"])
+    # at most nprobe cells x 1 member per list = 2 candidates per query
+    assert all(len(v) <= 2 for v in per_q.values())
+    full = ivf_knn(q, emb, k=5, n_cells=4, nprobe=2)
+    default_cap = ivf_knn(q, emb, k=5, n_cells=4, nprobe=2, max_list_size=4096)
+    key = lambda df: {(r["q_id"], r["vec_id"], r["rank"]) for r in df.collect()}
+    assert key(full) == key(default_cap)

@@ -91,3 +91,46 @@ def test_winnow_params_guarantee_identity():
         w, win = winnow_params(min_len)
         assert win + w - 1 == min_len
         assert w >= 2 and win >= 16
+
+
+def test_substring_spans_planted_positions(spark):
+    """substring_dup_spans returns the exact aligned maximal-run spans of
+    a planted 100-char boilerplate block (0-based codepoint offsets)."""
+    from simages_spark.operators.suffix import substring_dup_spans
+
+    import random
+
+    rng = random.Random(7)
+    boiler = "".join(chr(ord("A") + rng.randrange(26)) for _ in range(100))
+    doc_a = "x" * 17 + boiler + "y" * 30
+    doc_b = "z" * 55 + boiler + "q" * 10
+    doc_c = "completely unrelated filler far below the window length"
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    got = substring_dup_spans(docs, min_len=64).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["src"], r["dst"]) == (1, 2)
+    assert (r["pos_src"], r["pos_dst"], r["run_len"]) == (17, 55, 100)
+
+
+def test_substring_spans_two_diagonals(spark):
+    """A block repeated at two positions in dst yields one span per
+    alignment (diagonal), both maximal."""
+    from simages_spark.operators.suffix import substring_dup_spans
+
+    import random
+
+    rng = random.Random(11)
+    boiler = "".join(chr(ord("a") + rng.randrange(26)) for _ in range(80))
+    doc_a = "x" * 10 + boiler + "y" * 10
+    doc_b = boiler + "-" * 5 + boiler
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    got = {
+        (r["pos_src"], r["pos_dst"], r["run_len"])
+        for r in substring_dup_spans(docs, min_len=64).collect()
+    }
+    assert got == {(10, 0, 80), (10, 85, 80)}
