@@ -6,8 +6,16 @@ batch pipeline's checkpoint boundaries so any stage can be (re)run or
 resumed independently (north_rule: resumable with lineage + metrics):
 
     spark-submit --py-files simages_spark.zip -m simages_spark.cli \\
-        <ingest|signatures|candidates|cluster|report|apply-policy|show|clear> \\
+        <ingest|signatures|candidates|cluster|probe|report|apply-policy|show|clear> \\
         --input <parquet dir/table> --workdir <checkpoint root> [options]
+
+`probe` is the continuous-crawl form of the reference's `add`: a new
+batch (--new-input) is near-dup-probed against the maintained signature
+store through the slim probe index the `signatures` stage checkpoints
+alongside the signatures (operators/sig_index.py) — per-batch cost never
+rescans the store payload. `--within-batch` additionally emits the
+batch's internal near-dup pairs, so probe edges ∪ corpus edges cluster
+identically to a from-scratch run on the union.
 """
 
 from __future__ import annotations
@@ -43,8 +51,8 @@ def _load_docs(spark, path: str):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
-        "ingest", "signatures", "candidates", "cluster", "substrings",
-        "report", "apply-policy", "show", "clear",
+        "ingest", "signatures", "candidates", "cluster", "probe",
+        "substrings", "report", "apply-policy", "show", "clear",
     ])
     ap.add_argument("--input", required=True, help="corpus parquet path")
     ap.add_argument("--workdir", required=True, help="checkpoint root")
@@ -56,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--html", help="report: also write a static HTML page here")
     ap.add_argument("--min-len", type=int, default=64,
                     help="substrings: minimum shared-run length (chars)")
+    ap.add_argument("--within-batch", action="store_true",
+                    help="probe: also emit batch-internal near-dup pairs")
     ap.add_argument("--all-pairs-edges", action="store_true",
                     help="legacy: signatures for EVERY doc and full "
                          "within-group edges, instead of one representative "
@@ -76,14 +86,43 @@ def main(argv: list[str] | None = None) -> int:
         out = store.write("ingested", added)
         print(json.dumps({"ingested_rows": out.count()}))
     elif args.command == "signatures":
+        from simages_spark.operators.sig_index import probe_keys
+
         sig_docs = representative_docs(docs) if cfg.exact_first else docs
         sig = store.get_or_compute(
             "signatures", lambda: compute_signatures(sig_docs, cfg), fingerprint=fp
+        )
+        # slim probe index rides along with the signatures so `probe`
+        # batches never rescan the store's minhash/shingle payload
+        store.get_or_compute(
+            "sig_index", lambda: probe_keys(sig, cfg), fingerprint=fp
         )
         health = signature_metrics(sig).collect()[0].asDict()
         print(json.dumps({"signatures": sig.count(),
                           "n_corpus_docs": docs.count(), **health,
                           **store.metrics("signatures")}))
+    elif args.command == "probe":
+        from simages_spark.operators.incremental import incremental_dedup_edges
+
+        new = _load_docs(spark, args.new_input)
+        sig = store.read("signatures")
+        idx = store.read("sig_index") if store.exists("sig_index") else None
+        edges = store.write(
+            "probe_edges",
+            incremental_dedup_edges(
+                new.select("doc_id", "text"),
+                sig,
+                cfg,
+                existing_index=idx,
+                include_within_batch=args.within_batch,
+            ),
+        )
+        print(json.dumps({
+            "probe_edges": edges.count(),
+            "batch_docs": new.count(),
+            "indexed": idx is not None,
+            "within_batch": bool(args.within_batch),
+        }))
     elif args.command == "candidates":
         sig = store.read("signatures")
         cand = store.get_or_compute(

@@ -49,6 +49,7 @@ def incremental_dedup_edges(
     existing_index: DataFrame | None = None,
     include_within_batch: bool = False,
     use_simhash: bool = True,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """edges(src=new doc_id, dst=existing doc_id, jaccard ≥ τ), plus
     batch-internal pairs when `include_within_batch`.
@@ -78,12 +79,26 @@ def incremental_dedup_edges(
         else probe_keys(existing_signatures, cfg, use_simhash)
     )
     nk = probe_keys(new_sig, cfg, use_simhash)
+    if broadcast_batch:
+        # the whole point of the index: the STORE side must never be
+        # shuffled or sorted. The batch's ~36 keys/doc are ~0.6 KB/doc —
+        # broadcastable far beyond the 10 MB AQE default (measured: a
+        # 100k-doc batch is ~58 MB broadcast vs sort-merge-shuffling 360M
+        # index rows at a 10M-doc store). For batches too big to
+        # broadcast, pass broadcast_batch=False and probe the
+        # bucketed-index layout instead (sig_index.py).
+        nk = F.broadcast(nk)
     candidates = (
         nk.select("pkey", F.col("doc_id").alias("src"))
         .join(idx.select("pkey", F.col("doc_id").alias("dst")), "pkey")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
+        # candidates feed BOTH the matched-payload semi-join and the
+        # verify join: persist, or the index scan (the probe's dominant
+        # I/O) runs twice. Small (≈ verified-edge cardinality); lifetime
+        # owned by the caller's consumption of the returned edges.
+        .persist()
     )
     matched = candidates.select(F.col("dst").alias("doc_id")).distinct()
     existing_sets = existing_signatures.select("doc_id", "shingle_hashes").join(

@@ -66,9 +66,8 @@ def _pow_mod64(base: int, n: int) -> np.ndarray:
     """[base^0, base^1, ..., base^(n-1)] mod 2^64, vectorized."""
     out = np.empty(n, dtype=np.uint64)
     out[0] = 1
-    np.multiply.accumulate(
-        np.full(n - 1, base, dtype=np.uint64), out=out[1:]
-    ) if n > 1 else None
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, base, dtype=np.uint64), out=out[1:])
     return out
 
 

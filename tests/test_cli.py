@@ -88,3 +88,35 @@ def test_render_html_report():
         page=1, page_size=25, n_pages=1,
     )
     assert "cluster 1" in out2 and out2.count('class="keeper"') == 1
+
+
+def test_probe_flow_with_checkpointed_index(spark, docs_sf0001, tmp_path):
+    """The cli.py `probe` flow in-process: signatures stage checkpoints
+    the slim probe index alongside; a batch of exact re-crawls probed
+    through the stored index matches every non-empty batch doc at 1.0."""
+    from pyspark.sql import functions as F
+
+    from simages_spark.operators.incremental import incremental_dedup_edges
+    from simages_spark.operators.sig_index import probe_keys
+
+    store = CheckpointStore(spark, str(tmp_path / "wd_probe"))
+    sig = store.get_or_compute(
+        "signatures",
+        lambda: compute_signatures(representative_docs(docs_sf0001), CFG),
+    )
+    store.get_or_compute("sig_index", lambda: probe_keys(sig, CFG))
+
+    batch = (
+        docs_sf0001.where(F.col("doc_id") % 10 == 0)
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .select("doc_id", "text")
+    )
+    edges = incremental_dedup_edges(
+        batch, store.read("signatures"), CFG,
+        existing_index=store.read("sig_index"),
+    )
+    exact = edges.where(F.col("jaccard") == 1.0)
+    assert (
+        exact.select("src").distinct().count() == batch.count()
+    )  # every re-crawled doc matches the store
