@@ -262,6 +262,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_pairs": lambda spark, sf: ivf_cosine_pairs(
             _emb(spark, sf), threshold=0.4, n_cells=16, nprobe=2
         ),
+        # semantic dedup end-to-end: CC over the IVF cosine edge set —
+        # embedding-space duplicate clusters (min-label ids)
+        "semantic_dup_clusters": lambda spark, sf: connected_components(
+            ivf_cosine_pairs(_emb(spark, sf), threshold=0.4, n_cells=16, nprobe=2),
+            CFG,
+        ).select(F.col("doc_id").alias("vec_id"), "cluster_id"),
         # per-query top-k ANN search (IVF probe + exact re-rank + windowed
         # rank): queries = every 10th vector, corpus = all
         "ivf_knn": lambda spark, sf: ivf_knn(
@@ -490,6 +496,40 @@ _HITS = {
 _BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
 
 
+# replayed IVF pairs (shared by ivf_cosine_pairs + semantic_dup_clusters)
+_IVF_PAIRS = f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             [CAST(floor(embedding[i]*1000000 + 0.5) AS BIGINT)
+              for i in range(1, 65)] AS qc
+      FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    scores AS (
+      SELECT q.vec_id, c.cell,
+             list_sum([q.qv[i] * c.qc[i] for i in range(1, 65)]) AS s
+      FROM ({_QVEC}) q, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS r
+        FROM scores
+      ) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT c.src, c.dst, round({_COS}, 6) AS cosine
+    FROM cand c
+    JOIN embeddings a ON a.vec_id = c.src
+    JOIN embeddings b ON b.vec_id = c.dst
+    WHERE round({_COS}, 6) >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_stats": (
@@ -709,36 +749,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         # replayed IVF: codebook = 16 lowest-id vectors, integer-dot
         # assignment to top-2 cells, co-cell pairs, exact cosine re-rank
-        "ivf_cosine_pairs": f"""
-            WITH cent AS (
-              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-                     [CAST(floor(embedding[i]*1000000 + 0.5) AS BIGINT)
-                      for i in range(1, 65)] AS qc
-              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+        "ivf_cosine_pairs": _IVF_PAIRS,
+        # semantic (embedding-space) dedup end-to-end: connected
+        # components over the IVF cosine edges — min-label clusters
+        # replayed with a recursive CTE over the same replayed edges
+        "semantic_dup_clusters": f"""
+            WITH RECURSIVE ivf_e AS ({_IVF_PAIRS}),
+            und AS (
+              SELECT src AS u, dst AS v FROM ivf_e
+              UNION
+              SELECT dst AS u, src AS v FROM ivf_e
             ),
-            scores AS (
-              SELECT q.vec_id, c.cell,
-                     list_sum([q.qv[i] * c.qc[i] for i in range(1, 65)]) AS s
-              FROM ({_QVEC}) q, cent c
-            ),
-            assign AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY s DESC, cell) AS r
-                FROM scores
-              ) WHERE r <= 2
-            ),
-            cand AS (
-              SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-              FROM assign a JOIN assign b
-                ON a.cell = b.cell AND a.vec_id < b.vec_id
+            reach(u, v) AS (
+              SELECT u, v FROM und
+              UNION
+              SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
             )
-            SELECT c.src, c.dst, round({_COS}, 6) AS cosine
-            FROM cand c
-            JOIN embeddings a ON a.vec_id = c.src
-            JOIN embeddings b ON b.vec_id = c.dst
-            WHERE round({_COS}, 6) >= 0.4
+            SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+            FROM reach GROUP BY u
         """,
         # replayed IVF kNN: corpus in 1 cell each, queries probe 2 cells,
         # exact cosine re-rank, row_number <= 5 per query

@@ -88,10 +88,27 @@ def incremental_dedup_edges(
         # broadcast, pass broadcast_batch=False and probe the
         # bucketed-index layout instead (sig_index.py).
         nk = F.broadcast(nk)
+    # kind-1 (SimHash combination-key) matches get the SAME exact
+    # bit_count(xor) <= d cut the batch pipeline applies — detection is
+    # arrival-order-invariant: a pair is a candidate iff it would be in a
+    # single-batch run (bands agree, OR keys agree AND Hamming <= d)
+    ham_ok = (F.col("kind") == 0) | (
+        F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
+        <= cfg.simhash_max_hamming
+    )
     candidates = (
-        nk.select("pkey", F.col("doc_id").alias("src"))
-        .join(idx.select("pkey", F.col("doc_id").alias("dst")), "pkey")
-        .where(F.col("src") != F.col("dst"))
+        nk.select(
+            "kind", "pkey",
+            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"),
+        )
+        .join(
+            idx.select(
+                "kind", "pkey",
+                F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"),
+            ),
+            ["kind", "pkey"],
+        )
+        .where((F.col("src") != F.col("dst")) & ham_ok)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
         # candidates feed BOTH the matched-payload semi-join and the

@@ -22,14 +22,20 @@ from pyspark.sql import DataFrame, functions as F
 from simages_spark.config import DedupConfig
 
 
-def band_keys(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
-    """signatures → exploded (doc_id, band, band_key).
+def band_keys(
+    signatures: DataFrame,
+    cfg: DedupConfig | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """signatures → exploded (doc_id, band, band_key[, *extra_cols]).
 
     Band keys are computed entirely JVM-side: xxhash64 over the band id and
     the 8-slot minhash slice (xxhash64 natively hashes array columns), so
     the only Python in the whole candidate path is the signature UDF.
     Empty docs (num_shingles = 0) produce no bands — they can't be
-    near-duplicates of anything.
+    near-duplicates of anything. `extra_cols` ride through the explode
+    (e.g. the probe index carries `simhash` for its Hamming filter) —
+    cheaper than a join back on doc_id.
     """
     cfg = cfg or DedupConfig()
     bands = F.array(
@@ -45,8 +51,13 @@ def band_keys(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataFram
     )
     return (
         signatures.where(F.col("num_shingles") > 0)
-        .select("doc_id", F.explode(bands).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        .select("doc_id", *extra_cols, F.explode(bands).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+            *extra_cols,
+        )
     )
 
 

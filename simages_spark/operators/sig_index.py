@@ -39,24 +39,38 @@ from simages_spark.config import DedupConfig
 from simages_spark.operators.lsh import band_keys
 from simages_spark.operators.simhash_join import simhash_keys
 
-INDEX_SCHEMA = "pkey long, doc_id long"
+INDEX_SCHEMA = "kind int, pkey long, doc_id long, simhash long"
 
 
 def probe_keys(
     signatures: DataFrame, cfg: DedupConfig | None = None, use_simhash: bool = True
 ) -> DataFrame:
-    """(pkey, doc_id): every probe key of every doc — MinHash band keys
-    (kind 0) plus SimHash combination-block keys (kind 1). All JVM
-    expressions over the signature columns; no Python."""
+    """(kind, pkey, doc_id, simhash): every probe key of every doc —
+    MinHash band keys (kind 0) plus SimHash combination-block keys
+    (kind 1). All JVM expressions over the signature columns; no Python.
+
+    `simhash` rides along so the probe can apply the batch pipeline's
+    exact `bit_count(xor) <= d` filter to kind-1 matches — without it the
+    probe's candidate condition is a SUPERSET of the batch pipeline's
+    (combination-key agreement without the Hamming cut), making edge
+    existence depend on which micro-batch a doc arrived in. Detection
+    must be arrival-order-invariant: a 1M-doc crawl-loop soak
+    (tools/soak_crawl_loop.py) caught the 0.03% divergence."""
     cfg = cfg or DedupConfig()
-    keys = band_keys(signatures, cfg).select(
+    sig = signatures.select("doc_id", "minhash", "simhash", "num_shingles")
+    keys = band_keys(sig, cfg, extra_cols=("simhash",)).select(
+        F.lit(0).alias("kind"),
         F.xxhash64(F.lit(0), F.col("band"), F.col("band_key")).alias("pkey"),
         "doc_id",
+        "simhash",
     )
     if use_simhash:
         keys = keys.unionByName(
-            simhash_keys(signatures, cfg).select(
-                F.xxhash64(F.lit(1), F.col("key")).alias("pkey"), "doc_id"
+            simhash_keys(sig, cfg).select(
+                F.lit(1).alias("kind"),
+                F.xxhash64(F.lit(1), F.col("key")).alias("pkey"),
+                "doc_id",
+                "simhash",
             )
         )
     return keys

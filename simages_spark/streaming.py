@@ -175,6 +175,15 @@ def stream_near_dedup(
 
     `index_dir` defaults to `signatures_dir + "_index"`. See
     `process_near_dedup_batch` for the retry-safety contract.
+
+    Exact-copy floods (one page arriving from 10⁵ URLs over many
+    batches) would make the probe's store join quadratic in the copy
+    count, since every new copy matches all prior copies. The deployment
+    recipe is the same exact-first layering the batch pipeline uses:
+    compose `stream_dedup_exact` UPSTREAM (keyed state keep-first, so
+    only content-new docs reach this probe) and let its keeper output
+    carry the copy lineage — the probe then sees each distinct text
+    once, exactly like `representative_docs` at batch scale.
     """
     cfg = cfg or DedupConfig()
     index_dir = index_dir or signatures_dir.rstrip("/") + "_index"

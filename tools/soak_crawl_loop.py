@@ -1,0 +1,95 @@
+"""Continuous-crawl loop soak (round-2 verdict item 5 done-criterion at
+scale): a corpus arrives as K successive batches through the streaming
+batch processor (`process_near_dedup_batch` with within-batch edges —
+exactly what `stream_near_dedup` runs per micro-batch), maintaining the
+signature store + probe index incrementally. The cumulative edge set
+must produce the SAME clusters as a from-scratch `find_duplicates` run
+on the full union — the loop needs no second pass, at any batch split.
+
+From-scratch runs exact-first (signatures over representatives + star
+edges); the loop probes per batch. The edge SETS differ by construction
+(different connectivity certificates); cluster co-membership is the
+contract, and min-label cluster ids make equality literal.
+
+Usage: python tools/soak_crawl_loop.py [total_docs] [n_batches]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simages_spark.config import DedupConfig  # noqa: E402
+from simages_spark.operators.connected_components import connected_components  # noqa: E402
+from simages_spark.pipeline import find_duplicates  # noqa: E402
+from simages_spark.session import get_spark  # noqa: E402
+from simages_spark.sources.corpus import generate_pages, mint_doc_ids  # noqa: E402
+from simages_spark.streaming import process_near_dedup_batch  # noqa: E402
+
+ROOT = "/tmp/soak_crawl"
+
+
+def main() -> None:
+    total = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_spark("soak_crawl_loop", cores=32)
+    cfg = DedupConfig()
+    shutil.rmtree(ROOT, ignore_errors=True)
+    sig_dir, idx_dir, edg_dir = f"{ROOT}/sig", f"{ROOT}/idx", f"{ROOT}/edges"
+
+    docs = mint_doc_ids(generate_pages(spark, total, seed=42)).select(
+        "doc_id", "text"
+    )
+    per = total // k
+    t_loop = 0.0
+    for b in range(k):
+        batch = docs.where(
+            (F.col("doc_id") % k + k) % k == b  # deterministic split
+        )
+        t0 = time.time()
+        process_near_dedup_batch(
+            batch, b, sig_dir, idx_dir, edg_dir, cfg, include_within_batch=True
+        )
+        dt = time.time() - t0
+        t_loop += dt
+        print(json.dumps({"batch": b, "sec": round(dt, 1)}), flush=True)
+
+    loop_edges = spark.read.parquet(edg_dir).select("src", "dst", "jaccard")
+    t0 = time.time()
+    loop_clusters = connected_components(loop_edges, cfg).persist()
+    n_loop = loop_clusters.count()
+    t_cc = time.time() - t0
+
+    t0 = time.time()
+    scratch = find_duplicates(docs, cfg).clusters.persist()
+    n_scratch = scratch.count()
+    t_scratch = time.time() - t0
+
+    # min-label cluster ids: co-membership equality == literal row equality
+    mismatches = (
+        loop_clusters.exceptAll(scratch).count()
+        + scratch.exceptAll(loop_clusters).count()
+    )
+    print(json.dumps({
+        "total_docs": total,
+        "n_batches": k,
+        "loop_sec": round(t_loop, 1),
+        "loop_docs_per_sec": round(total / t_loop, 1),
+        "loop_cc_sec": round(t_cc, 1),
+        "scratch_sec": round(t_scratch, 1),
+        "cluster_rows_loop": n_loop,
+        "cluster_rows_scratch": n_scratch,
+        "cluster_mismatches": mismatches,
+        "clusters_equal": mismatches == 0,
+    }), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
