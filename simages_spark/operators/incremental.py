@@ -132,6 +132,72 @@ def incremental_dedup_edges(
     return edges
 
 
+def probe_metrics(
+    new_signatures: DataFrame,
+    existing_index: DataFrame,
+    cfg: DedupConfig | None = None,
+    use_simhash: bool = True,
+) -> DataFrame:
+    """Probe-health counters (north-rule never-silent metrics): per key
+    family, how many candidate pairs the index join surfaced, how many
+    SimHash matches the exact Hamming cut removed, and how many store
+    docs must ship shingle payload to verify — the numbers that say what
+    a batch actually costs against a given store."""
+    cfg = cfg or DedupConfig()
+    nk = probe_keys(new_signatures, cfg, use_simhash)
+    joined = (
+        F.broadcast(nk)
+        .select(
+            "kind", "pkey",
+            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"),
+        )
+        .join(
+            existing_index.select(
+                "kind", "pkey",
+                F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"),
+            ),
+            ["kind", "pkey"],
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    ham_ok = (F.col("kind") == 0) | (
+        F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
+        <= cfg.simhash_max_hamming
+    )
+    per_pair = (
+        joined.withColumn("ok", ham_ok)
+        .groupBy("src", "dst")
+        .agg(
+            F.max(F.when(F.col("kind") == 0, 1).otherwise(0)).alias("via_band"),
+            F.max(
+                F.when((F.col("kind") == 1) & F.col("ok"), 1).otherwise(0)
+            ).alias("via_simhash"),
+            F.max(F.when(F.col("kind") == 1, 1).otherwise(0)).alias(
+                "simhash_keyed"
+            ),
+        )
+    )
+    return per_pair.agg(
+        F.count("*").alias("n_key_matched_pairs"),
+        F.sum(
+            F.when((F.col("via_band") + F.col("via_simhash")) > 0, 1).otherwise(0)
+        ).alias("n_candidate_pairs"),
+        F.sum("via_band").alias("n_via_band"),
+        F.sum("via_simhash").alias("n_via_simhash"),
+        F.sum(
+            F.when(
+                (F.col("simhash_keyed") == 1)
+                & (F.col("via_simhash") == 0)
+                & (F.col("via_band") == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_hamming_cut_pairs"),
+        F.count_distinct(
+            F.when((F.col("via_band") + F.col("via_simhash")) > 0, F.col("dst"))
+        ).alias("n_matched_store_docs"),
+    )
+
+
 def within_batch_edges(
     new_signatures: DataFrame,
     cfg: DedupConfig | None = None,

@@ -152,3 +152,35 @@ def test_unified_within_batch_equals_from_scratch(spark):
 
     assert members(got) == members(scratch)
     assert frozenset({12, 13, 14}) in members(got)
+
+
+def test_probe_metrics_counts(spark):
+    from simages_spark.operators.incremental import probe_metrics
+    from simages_spark.operators.sig_index import probe_keys
+
+    corpus = _df(spark, [(1, BASE_A), (2, BASE_B)])
+    batch = _df(spark, [(10, NEAR_A), (11, BASE_B), (12, "fresh unseen")])
+    idx = probe_keys(compute_signatures(corpus, CFG), CFG)
+    m = probe_metrics(compute_signatures(batch, CFG), idx, CFG).collect()[0]
+    # (10,1) via bands; (11,2) exact copy — bands AND simhash; 12 nothing
+    assert m["n_candidate_pairs"] == 2
+    assert m["n_via_band"] == 2
+    assert m["n_via_simhash"] >= 1
+    assert m["n_matched_store_docs"] == 2
+    assert m["n_hamming_cut_pairs"] >= 0
+
+
+def test_first_batch_within_edges(spark, tmp_path):
+    """include_within_batch on the FIRST batch (no prior store) still
+    emits the batch-internal pairs."""
+    from simages_spark.streaming import process_near_dedup_batch
+
+    sig_dir = str(tmp_path / "s")
+    idx_dir = str(tmp_path / "i")
+    edg_dir = str(tmp_path / "e")
+    batch = _df(spark, [(1, BASE_A), (2, BASE_A), (3, "something else")])
+    process_near_dedup_batch(
+        batch, 0, sig_dir, idx_dir, edg_dir, CFG, include_within_batch=True
+    )
+    got = _edges(spark.read.parquet(edg_dir))
+    assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
