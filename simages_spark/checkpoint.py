@@ -4,9 +4,12 @@
 Each pipeline stage can persist its output table and be skipped on resume.
 Backend is plain parquet in this build (the sandbox ships no lakehouse
 catalog jars; on a cluster with an ACID table format the same
-write/read/meta interface maps onto catalog tables — but that path is
-NOT implemented here, deliberately: no capability claims the code can't
-demonstrate).
+write/read/meta interface maps onto catalog tables). Stage writes are
+snapshot-atomic (tmp dir + rename swap + meta-last, below). For the
+CORPUS table itself — where concurrent writers and row-level
+DELETE/MERGE semantics matter — `simages_spark/table.py` provides a
+snapshot-versioned table with optimistic-concurrency commits and time
+travel, demonstrated under concurrent writers in tests/test_table.py.
 
 Lineage (north_rule): every checkpointed row carries `part_id`
 (producing partition) and `stage_run_id`, so a resumed run can attribute

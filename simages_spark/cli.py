@@ -66,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="substrings: minimum shared-run length (chars)")
     ap.add_argument("--within-batch", action="store_true",
                     help="probe: also emit batch-internal near-dup pairs")
+    ap.add_argument("--table-root", default=None,
+                    help="apply-policy: also maintain the corpus as a "
+                         "snapshot-versioned ACID table at this root — the "
+                         "delete commits as one atomic snapshot (time-"
+                         "travelable, concurrent-writer-safe)")
     ap.add_argument("--all-pairs-edges", action="store_true",
                     help="legacy: signatures for EVERY doc and full "
                          "within-group edges, instead of one representative "
@@ -200,11 +205,21 @@ def main(argv: list[str] | None = None) -> int:
         store.write("to_delete", to_delete)
         kept = docs.join(to_delete.select("doc_id"), "doc_id", "left_anti")
         store.write("deduped_corpus", kept)
-        print(json.dumps({
+        out = {
             "deleted": to_delete.count(),
             "kept": kept.count(),
             "total": docs.count(),
-        }))
+        }
+        if args.table_root:
+            from simages_spark.table import SnapshotTable
+
+            table = SnapshotTable(spark, args.table_root)
+            if table.current_version() is None:
+                table.append(docs)
+            v = table.delete_matching(to_delete.select("doc_id"), "doc_id")
+            out["table_version"] = v
+            out["table_rows"] = table.read().count()
+        print(json.dumps(out))
     elif args.command == "show":
         docs.show(20, truncate=80)
         print(json.dumps({"rows": docs.count()}))

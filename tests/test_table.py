@@ -1,0 +1,121 @@
+"""Snapshot-versioned table: atomic commits, optimistic concurrency,
+time travel, row-level delete/upsert, crash-leftover vacuum."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import functions as F
+
+from simages_spark.table import SnapshotTable
+
+
+def _df(spark, ids, tag="a"):
+    return spark.createDataFrame(
+        [(i, f"{tag}{i}") for i in ids], "doc_id long, text string"
+    )
+
+
+def test_append_read_time_travel(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t1"))
+    assert t.current_version() is None
+    v0 = t.append(_df(spark, range(5)))
+    v1 = t.append(_df(spark, range(5, 8)))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 8
+    assert t.read(version=0).count() == 5  # time travel
+    hist = t.history()
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert hist[1]["parent"] == 0
+
+
+def test_delete_rewrites_only_affected_groups(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t2"))
+    t.append(_df(spark, range(10)))          # group A: 0-9
+    t.append(_df(spark, range(100, 110)))    # group B: 100-109
+    before = t.manifest(t.current_version())["data_groups"]
+    t.delete_where(F.col("doc_id") < 3)
+    after = t.manifest(t.current_version())["data_groups"]
+    # group B (no matching rows) carried by REFERENCE, group A rewritten
+    assert before[1] in after and before[0] not in after
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(3, 10)) | set(range(100, 110))
+    # the pre-delete snapshot still reads in full (snapshot isolation)
+    assert t.read(version=1).count() == 20
+
+
+def test_upsert_replaces_and_inserts(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t3"))
+    t.append(_df(spark, range(5), tag="old"))
+    t.upsert(_df(spark, [3, 4, 5, 6], tag="new"), key="doc_id")
+    got = {r["doc_id"]: r["text"] for r in t.read().collect()}
+    assert got == {0: "old0", 1: "old1", 2: "old2",
+                   3: "new3", 4: "new4", 5: "new5", 6: "new6"}
+
+
+def test_optimistic_rebase_on_conflict(spark, tmp_path):
+    """A writer whose base is committed over mid-flight rebases and both
+    writers' rows survive (no lost update)."""
+    root = str(tmp_path / "t4")
+    t1, t2 = SnapshotTable(spark, root), SnapshotTable(spark, root)
+    t1.append(_df(spark, [1]))
+
+    gid = t1._stage_group(_df(spark, [2]))
+    sneaked = []
+
+    def mutate(base):
+        if not sneaked:
+            sneaked.append(True)
+            t2.append(_df(spark, [3]))  # concurrent commit AFTER base read
+        prior = t1.manifest(base)["data_groups"] if base is not None else []
+        return prior + [gid], "struct<doc_id:bigint,text:string>"
+
+    v = t1._commit_with_retry(mutate, "append")
+    assert v == 2  # rebased onto t2's v1
+    assert {r["doc_id"] for r in t1.read().collect()} == {1, 2, 3}
+
+
+def test_concurrent_append_threads_no_lost_updates(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t5"))
+    errors = []
+
+    def worker(lo):
+        try:
+            tt = SnapshotTable(spark, t.root)
+            for i in range(lo, lo + 4):
+                tt.append(_df(spark, [i]))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(lo,)) for lo in (0, 100)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(4)) | set(range(100, 104))
+    assert t.current_version() == 7  # 8 commits, all linearized
+
+
+def test_vacuum_sweeps_only_orphans(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t6"))
+    t.append(_df(spark, range(3)))
+    t._stage_group(_df(spark, [99]))  # crashed writer: staged, never committed
+    assert len(os.listdir(os.path.join(t.root, "data"))) == 2
+    assert t.vacuum() == 1
+    assert t.read().count() == 3
+    # historical versions keep their groups through later deletes + vacuum
+    t.delete_where(F.col("doc_id") == 0)
+    assert t.vacuum() == 0
+    assert t.read(version=0).count() == 3
+
+
+def test_delete_matching_distributed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t7"))
+    t.append(_df(spark, range(10)))
+    keys = spark.createDataFrame([(2,), (5,), (77,)], "doc_id long")
+    t.delete_matching(keys, "doc_id")
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(10)) - {2, 5}
