@@ -119,3 +119,43 @@ def test_delete_matching_distributed(spark, tmp_path):
     t.delete_matching(keys, "doc_id")
     got = {r["doc_id"] for r in t.read().collect()}
     assert got == set(range(10)) - {2, 5}
+
+
+def test_concurrent_ingest_and_apply_policy(spark, tmp_path):
+    """The workflow race the verdict called untestable without a catalog:
+    one writer ingests new docs while another applies the delete policy.
+    Both commits land (one rebases); no lost update in either direction."""
+    t = SnapshotTable(spark, str(tmp_path / "t8"))
+    t.append(_df(spark, range(10)))
+
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def ingest():
+        try:
+            barrier.wait()
+            SnapshotTable(spark, t.root).append(_df(spark, range(100, 105)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def apply_policy():
+        try:
+            barrier.wait()
+            SnapshotTable(spark, t.root).delete_matching(
+                spark.createDataFrame([(i,) for i in range(5)], "doc_id long"),
+                "doc_id",
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=ingest),
+               threading.Thread(target=apply_policy)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    got = {r["doc_id"] for r in t.read().collect()}
+    # deletes applied AND ingested rows present, regardless of commit order
+    assert got == set(range(5, 10)) | set(range(100, 105))
+    assert t.current_version() == 2
