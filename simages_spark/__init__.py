@@ -11,18 +11,22 @@ programs plus vectorized Arrow UDFs (no per-row Python).
 """
 
 from simages_spark.config import DedupConfig
+from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.pipeline import (
     dedup_plan,
     find_duplicates,
     representative_docs,
     top_pairs,
 )
+from simages_spark.table import SnapshotTable
 
 __all__ = [
     "DedupConfig",
+    "SnapshotTable",
     "dedup_plan",
     "find_duplicates",
+    "incremental_dedup_edges",
     "representative_docs",
     "top_pairs",
 ]
-__version__ = "0.2.0"
+__version__ = "0.3.0"

@@ -194,10 +194,13 @@ class SnapshotTable:
     def upsert(self, df: DataFrame, key: str) -> int:
         """MERGE INTO: rows matching on `key` are replaced, new keys are
         inserted — the reference's insert-or-update document write
-        (src/simages/duplicate_finder.py:111-115) as one atomic snapshot."""
+        (src/simages/duplicate_finder.py:111-115) as one atomic snapshot.
+        Fully distributed: key matching is semi/anti joins per affected
+        group, never a driver-side key collect."""
         gid_new = self._stage_group(df)
         schema = df.schema.simpleString()
-        keys = [r[0] for r in df.select(key).distinct().collect()]
+        keys = df.select(key).distinct().persist()
+        keys.count()
 
         def mutate(base):
             if base is None:
@@ -206,15 +209,18 @@ class SnapshotTable:
             groups = []
             for g in man["data_groups"]:
                 gdf = self.spark.read.parquet(os.path.join(self.root, "data", g))
-                if gdf.where(F.col(key).isin(keys)).limit(1).count() == 0:
+                if gdf.join(keys, key, "left_semi").limit(1).count() == 0:
                     groups.append(g)
                 else:
                     groups.append(
-                        self._stage_group(gdf.where(~F.col(key).isin(keys)))
+                        self._stage_group(gdf.join(keys, key, "left_anti"))
                     )
             return groups + [gid_new], man["schema"]
 
-        return self._commit_with_retry(mutate, "upsert")
+        try:
+            return self._commit_with_retry(mutate, "upsert")
+        finally:
+            keys.unpersist()
 
     def delete_matching(self, keys_df: DataFrame, key: str) -> int:
         """DELETE via key set (distributed — no driver-side key collect):
@@ -244,6 +250,20 @@ class SnapshotTable:
             return self._commit_with_retry(mutate, "delete")
         finally:
             keys.unpersist()
+
+    def truncate(self) -> int:
+        """TRUNCATE TABLE (reference `clear`,
+        src/simages/duplicate_finder.py:233-234) as a snapshot: commits an
+        EMPTY version — history stays time-travelable until vacuumed by a
+        retention job that also drops old manifests (not implemented:
+        retention policy is deployment config)."""
+
+        def mutate(base):
+            if base is None:
+                raise FileNotFoundError("truncate on an empty table")
+            return [], self.manifest(base)["schema"]
+
+        return self._commit_with_retry(mutate, "truncate")
 
     # ---------- maintenance ----------
 

@@ -159,3 +159,14 @@ def test_concurrent_ingest_and_apply_policy(spark, tmp_path):
     # deletes applied AND ingested rows present, regardless of commit order
     assert got == set(range(5, 10)) | set(range(100, 105))
     assert t.current_version() == 2
+
+
+def test_truncate_keeps_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t9"))
+    t.append(_df(spark, range(6)))
+    v = t.truncate()
+    assert t.read().count() == 0
+    assert t.read().columns == ["doc_id", "text"]  # schema survives
+    assert t.read(version=v - 1).count() == 6      # history intact
+    t.append(_df(spark, [42]))                     # table usable after
+    assert {r["doc_id"] for r in t.read().collect()} == {42}
