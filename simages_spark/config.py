@@ -61,6 +61,10 @@ class DedupConfig:
     # fewer materializations on very fast rounds
     cc_checkpoint_every: int = 1
     cc_max_rounds: int = 50
+    # edge-count bound for the CC driver union-find fast path (identical
+    # labels; ~16 B/edge collected, so 100k ≈ 1.6 MB — the same size-gated
+    # physical-strategy idea as autoBroadcastJoinThreshold). 0 disables.
+    cc_driver_threshold: int = 100_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:

@@ -70,6 +70,45 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect ≤ cc_driver_threshold normalized
+    edges and union-find on the driver. Output is IDENTICAL to the
+    distributed rounds by construction (cluster_id = component-min
+    doc_id); what changes is only latency — the star rounds cost several
+    jobs each, which dominates wall-clock on small graphs the way job
+    setup dominates a broadcast-able join. Same engine philosophy as
+    `spark.sql.autoBroadcastJoinThreshold`: a size-gated physical
+    strategy for the same logical result. At the default 100k-edge bound
+    the collect is ~1.6 MB — far below any driver-memory concern — and
+    every large input still takes the distributed path (asserted by the
+    20M-edge soaks)."""
+    spark = edges.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = set(parent)
+    labels: dict[int, int] = {}
+    for n in nodes:
+        labels[n] = find(n)
+    out = [(n, r) for n, r in labels.items()] + [
+        (r, r) for r in set(labels.values())
+    ]
+    if not out:
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
+
+
 def connected_components(
     edges: DataFrame,
     cfg: DedupConfig | None = None,
@@ -82,7 +121,11 @@ def connected_components(
     Pass a list as `round_metrics` to receive one (round_no, n_edges)
     entry per iteration — the north-rule metrics surface for the only
     iterative stage (rounds ≈ O(log² diameter); see tools/soak_cc.py
-    for the measured diameter dependence).
+    for the measured diameter dependence). Graphs at or below
+    `cfg.cc_driver_threshold` edges take the driver union-find fast path
+    (round_metrics gets a single (0, n_edges) entry) — identical labels,
+    no per-round job latency; set the threshold to 0 to force the
+    distributed rounds.
     """
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
@@ -92,6 +135,10 @@ def connected_components(
     # — the rounds are latency-bound, not compute-bound).
     cur = _normalize(edges.select("src", "dst")).localCheckpoint(eager=False)
     prev_fp = _fingerprint(cur)
+    if prev_fp[0] <= cfg.cc_driver_threshold:
+        if round_metrics is not None:
+            round_metrics.append((0, prev_fp[0]))
+        return _driver_union_find(cur)
     for round_no in range(1, cfg.cc_max_rounds + 1):
         nxt = _small_star(_large_star(cur))
         # checkpoint every cc_checkpoint_every rounds (default 1): one
