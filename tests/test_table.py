@@ -69,7 +69,7 @@ def test_optimistic_rebase_on_conflict(spark, tmp_path):
             sneaked.append(True)
             t2.append(_df(spark, [3]))  # concurrent commit AFTER base read
         prior = t1.manifest(base)["data_groups"] if base is not None else []
-        return prior + [gid], "struct<doc_id:bigint,text:string>"
+        return prior + [gid], {}, "struct<doc_id:bigint,text:string>"
 
     v = t1._commit_with_retry(mutate, "append")
     assert v == 2  # rebased onto t2's v1
@@ -104,12 +104,99 @@ def test_vacuum_sweeps_only_orphans(spark, tmp_path):
     t.append(_df(spark, range(3)))
     t._stage_group(_df(spark, [99]))  # crashed writer: staged, never committed
     assert len(os.listdir(os.path.join(t.root, "data"))) == 2
-    assert t.vacuum() == 1
+    # the grace window protects the freshly-staged (possibly in-flight)
+    # group — a default-aged vacuum must NOT sweep it...
+    assert t.vacuum() == 0
+    # ...while an explicit min_age_s=0 (caller asserts no live writers) does
+    assert t.vacuum(min_age_s=0) == 1
     assert t.read().count() == 3
     # historical versions keep their groups through later deletes + vacuum
     t.delete_where(F.col("doc_id") == 0)
-    assert t.vacuum() == 0
+    assert t.vacuum(min_age_s=0) == 0
     assert t.read(version=0).count() == 3
+
+
+def test_vacuum_grace_preserves_inflight_commit(spark, tmp_path):
+    """Round-3 verdict item 2: a writer stages its group BEFORE its
+    manifest exists; a vacuum in that window must not sweep the staged
+    data or the later commit references deleted files."""
+    t = SnapshotTable(spark, str(tmp_path / "t6b"))
+    t.append(_df(spark, range(3)))
+    # writer mid-commit: staged but no manifest yet
+    gid, gstats = t._stage_group_with_stats(_df(spark, [7]))
+    assert t.vacuum() == 0  # grace window keeps the in-flight group
+    # writer completes its commit; table reads fine, vacuum stays clean
+    t._commit_with_retry(
+        lambda base: (
+            t.manifest(base)["data_groups"] + [gid],
+            {**{g: None for g in t.manifest(base)["data_groups"]}, gid: gstats},
+            t.manifest(base)["schema"],
+        ),
+        "append",
+    )
+    assert {r["doc_id"] for r in t.read().collect()} == {0, 1, 2, 7}
+    assert t.vacuum(min_age_s=0) == 0  # nothing orphaned
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """ADVICE medium: DELETE WHERE removes rows where the predicate is
+    TRUE; NULL-predicate rows must SURVIVE, and identically whether their
+    group was rewritten or carried by reference."""
+    t = SnapshotTable(spark, str(tmp_path / "t6c"))
+    df = spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "delete-me")], "doc_id long, text string"
+    )
+    t.append(df)  # group with a TRUE match AND a NULL row → rewritten
+    t.append(
+        spark.createDataFrame([(3, None)], "doc_id long, text string")
+    )  # group with only a NULL row → no TRUE match, carried by reference
+    t.delete_where(F.col("text") == "delete-me")
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {0, 1, 3}  # both NULL rows kept
+
+
+def test_upsert_rejects_schema_mismatch(spark, tmp_path):
+    """ADVICE low: upsert with a divergent schema must error, not commit
+    a manifest whose recorded schema disagrees with the data."""
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "t6d"))
+    t.append(_df(spark, range(3)))
+    widened = spark.createDataFrame(
+        [(1, "x", 9.5)], "doc_id long, text string, score double"
+    )
+    with pytest.raises(ValueError, match="schema"):
+        t.upsert(widened, key="doc_id")
+    with pytest.raises(ValueError, match="schema"):
+        t.append(widened)
+    assert t.read().columns == ["doc_id", "text"]
+
+
+def test_stats_pruning_skips_unaffected_groups(spark, tmp_path):
+    """Round-3 verdict item 1: delete_matching must find affected groups
+    from manifest [min,max] stats — groups whose range cannot contain any
+    key are carried by reference without opening a single data file."""
+    t = SnapshotTable(spark, str(tmp_path / "t6e"))
+    t.append(_df(spark, range(0, 10)))        # group A: 0-9
+    t.append(_df(spark, range(100, 110)))     # group B: 100-109
+    t.append(_df(spark, range(200, 210)))     # group C: 200-209
+    man = t.manifest(t.current_version())
+    # footer stats were harvested at commit time
+    for g in man["data_groups"]:
+        st = man["group_stats"][g]
+        assert st["rows"] == 10 and "doc_id" in st["columns"]
+    keys = spark.createDataFrame([(105,), (107,)], "doc_id long")
+    affected, pruned = t._prune_by_keys(man, keys, "doc_id")
+    assert affected == [man["data_groups"][1]]
+    assert set(pruned) == {man["data_groups"][0], man["data_groups"][2]}
+    before = man["data_groups"]
+    t.delete_matching(keys, "doc_id")
+    after = t.manifest(t.current_version())["data_groups"]
+    # A and C carried by reference; B replaced by the rewrite group
+    assert before[0] in after and before[2] in after and before[1] not in after
+    assert {r["doc_id"] for r in t.read().collect()} == (
+        set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
+    ) - {105, 107}
 
 
 def test_delete_matching_distributed(spark, tmp_path):
