@@ -15,6 +15,11 @@ Lineage (north_rule): every checkpointed row carries `part_id`
 (producing partition) and `stage_run_id`, so a resumed run can attribute
 every row to the task that wrote it.
 
+Filesystem contract: the swap relies on atomic directory `rename` —
+POSIX/HDFS semantics. On S3-class object stores (no atomic rename) the
+swap maps onto a manifest pointer updated with a conditional PUT, as in
+`table.py`'s commit protocol (see its docstring).
+
 Staleness guard: `get_or_compute` takes an optional `fingerprint`
 (e.g. a hash of the DedupConfig fields). It is stored in the stage meta;
 a rerun under a different config invalidates and recomputes the stage
@@ -27,6 +32,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -59,15 +65,26 @@ class CheckpointStore:
             self._path(name)
         )
 
-    def _sweep_stale(self, name: str) -> None:
+    def _sweep_stale(self, name: str, min_age_s: float = 3600.0) -> None:
         """Remove leftovers of writes that died mid-flight (.tmp-*) and
-        swaps that died before cleanup (.old-*)."""
+        swaps that died before cleanup (.old-*) — but only once they are
+        older than `min_age_s`: a SECOND writer of the same stage (two
+        CLI runs sharing a workdir) has a live `.tmp-<run>` dir in
+        flight, and an ungated sweep would delete its job's output
+        mid-write (round-3 advice item 4). Paired with collision-proof
+        uuid run_ids, a young tmp dir is always possibly-live."""
         import glob
         import shutil
 
+        now = time.time()
         for d in glob.glob(self._path(f"{name}.tmp-*")) + glob.glob(
             self._path(f"{name}.old-*")
         ):
+            try:
+                if now - os.path.getmtime(d) < min_age_s:
+                    continue
+            except OSError:
+                continue  # already gone (concurrent sweep)
             shutil.rmtree(d, ignore_errors=True)
 
     def write(
@@ -88,7 +105,11 @@ class CheckpointStore:
         the snapshot being replaced)."""
         import shutil
 
-        run_id = run_id or f"run-{int(time.time())}"
+        # uuid suffix: second-granularity timestamps collide when two
+        # writers start the same stage in the same second, and a collided
+        # run_id means a shared tmp-dir name (one writer's rename swaps
+        # the other's half-written job into place)
+        run_id = run_id or f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
         self._sweep_stale(name)
         with_lineage = df.withColumn("part_id", F.spark_partition_id()).withColumn(
             "stage_run_id", F.lit(run_id)

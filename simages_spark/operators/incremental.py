@@ -112,10 +112,15 @@ def incremental_dedup_edges(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
         # candidates feed BOTH the matched-payload semi-join and the
-        # verify join: persist, or the index scan (the probe's dominant
-        # I/O) runs twice. Small (≈ verified-edge cardinality); lifetime
-        # owned by the caller's consumption of the returned edges.
-        .persist()
+        # verify join: materialize once, or the index scan (the probe's
+        # dominant I/O) runs twice. localCheckpoint, NOT persist():
+        # CacheManager entries pin their plan forever (a per-micro-batch
+        # leak in the streaming caller — round-3 advice item 3), while a
+        # localCheckpoint's blocks are released by the ContextCleaner as
+        # soon as this DataFrame is garbage-collected, so the lifetime
+        # really is bounded by the caller's use of the returned edges.
+        # Small (≈ candidate-pair cardinality, ids only).
+        .localCheckpoint(eager=True)
     )
     matched = candidates.select(F.col("dst").alias("doc_id")).distinct()
     existing_sets = existing_signatures.select("doc_id", "shingle_hashes").join(

@@ -176,14 +176,32 @@ def test_checkpoint_write_crash_atomic(spark, tmp_path):
     store = CheckpointStore(spark, str(tmp_path / "ck3"))
     store.write("s", spark.createDataFrame([(1,)], ["x"]), run_id="r1")
 
-    # (a) simulate a write that died during the tmp job
+    # (a) simulate a write that died during the tmp job — long ago, so
+    # the sweep's grace window (which protects LIVE concurrent writers'
+    # in-flight tmp dirs) treats it as genuinely dead
     dead_tmp = os.path.join(str(tmp_path / "ck3"), "s.tmp-r2")
     os.makedirs(dead_tmp)
     open(os.path.join(dead_tmp, "part-00000.parquet"), "w").write("garbage")
+    os.utime(dead_tmp, (0, 0))  # backdate past the grace window
     assert store.get_or_compute("s", lambda: 1 / 0).collect()[0]["x"] == 1
     store.write("s", spark.createDataFrame([(2,)], ["x"]), run_id="r3")
     assert not os.path.exists(dead_tmp)  # swept by the next write
     assert store.read("s").collect()[0]["x"] == 2
+
+    # (a') a YOUNG tmp dir is a possibly-live concurrent writer's job —
+    # the sweep must leave it alone (round-3 advice item 4)
+    live_tmp = os.path.join(str(tmp_path / "ck3"), "s.tmp-live")
+    os.makedirs(live_tmp)
+    store.write("s", spark.createDataFrame([(4,)], ["x"]), run_id="r4")
+    assert os.path.exists(live_tmp)
+    shutil.rmtree(live_tmp)
+
+    # default run_ids are collision-proof even within one second
+    ids = set()
+    for _ in range(2):
+        store.write("s", spark.createDataFrame([(5,)], ["x"]))
+        ids.add(store.metrics("s")["run_id"])
+    assert len(ids) == 2
 
     # (b) kill inside the swap window: data dir gone, meta still present
     shutil.rmtree(os.path.join(str(tmp_path / "ck3"), "s"))

@@ -184,3 +184,19 @@ def test_first_batch_within_edges(spark, tmp_path):
     )
     got = _edges(spark.read.parquet(edg_dir))
     assert set(got) == {(1, 2)} and got[(1, 2)] == 1.0
+
+
+def test_probe_does_not_leak_cache_entries(spark):
+    """Round-3 advice item 3: the probe used to persist() its candidates
+    and never release them — one CacheManager entry per micro-batch for
+    the lifetime of a continuous-crawl query. The localCheckpoint rewrite
+    must leave the CacheManager empty after every call."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    corpus = _df(spark, [(1, BASE_A), (2, BASE_B)])
+    sig = compute_signatures(corpus, CFG)
+    for b in range(3):
+        batch = _df(spark, [(100 + b, NEAR_A), (200 + b, f"fresh {b} page")])
+        edges = incremental_dedup_edges(batch, sig, CFG)
+        assert (100 + b, 1) in _edges(edges)  # fully consumed
+        assert cm.isEmpty(), f"cache entry leaked on micro-batch {b}"
