@@ -178,3 +178,59 @@ def test_stream_near_dedup(spark, tmp_path):
     stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
     edges3 = {(r["src"], r["dst"]) for r in spark.read.parquet(edg).collect()}
     assert (20, 12) in edges3
+
+
+def test_stream_crawl_dedup_flood_and_cluster_equality(spark, tmp_path):
+    """The composed crawl recipe (exact keep-first upstream → near-dup
+    probe downstream): an exact-copy flood reaches the probe exactly
+    once, lineage stays linear in input size, and the full cluster set
+    (near edges ∪ lineage star edges) equals a from-scratch batch run on
+    the union of all batches."""
+    from pyspark.sql import functions as F
+
+    from simages_spark.operators.connected_components import connected_components
+    from simages_spark.pipeline import find_duplicates
+    from simages_spark.streaming import crawl_edges, stream_crawl_dedup
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "crawl")
+    os.makedirs(inp, exist_ok=True)
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 20 else f"word{i}") for i in range(40))
+    flood = "the flooded page body that arrives from very many urls"
+
+    # batch 1: flood begins (3 copies) + distinct content
+    rows1 = [(1, base, "en", "s", 0), (2, "some unrelated page", "en", "s", 0)]
+    rows1 += [(100 + i, flood, "en", "s", 0) for i in range(3)]
+    _write_batch(spark, inp, rows1)
+    stream_crawl_dedup(spark, inp, root, CFG)
+
+    # batch 2: flood grows 10×, plus a near-dup of base and a fresh doc
+    rows2 = [(3, near, "en", "s", 0), (4, "fresh new content here", "en", "s", 0)]
+    rows2 += [(200 + i, flood, "en", "s", 0) for i in range(30)]
+    _write_batch(spark, inp, rows2)
+    out = stream_crawl_dedup(spark, inp, root, CFG)
+
+    # linearity: every doc got exactly one lineage row; the probe-side
+    # signature store holds ONE row per distinct text — the flood never
+    # multiplies inside the near stage
+    n_docs = len(rows1) + len(rows2)
+    assert out["lineage_rows"] == n_docs
+    assert out["probe_docs"] == 5  # base, unrelated, flood, near, fresh
+    sig = spark.read.parquet(f"{root}/sig")
+    assert sig.where(F.col("doc_id") >= 100).count() == 1  # flood keeper only
+
+    # cluster equality vs from-scratch on the union
+    docs = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows1 + rows2], "doc_id long, text string"
+    )
+    scratch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in find_duplicates(docs, CFG).clusters.collect()
+    }
+    loop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(crawl_edges(spark, root), CFG).collect()
+    }
+    assert loop == scratch and len(loop) >= 35  # flood docs all clustered

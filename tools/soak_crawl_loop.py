@@ -59,6 +59,21 @@ def main() -> None:
         dt = time.time() - t0
         t_loop += dt
         print(json.dumps({"batch": b, "sec": round(dt, 1)}), flush=True)
+        if b == k // 2:
+            # mid-loop maintenance (between batches — exactly the
+            # availableNow slot): fold all batch partitions into one
+            # compacted generation; later batches must probe identically
+            from simages_spark.maintenance import (
+                compact_probe_index, compact_signature_store,
+            )
+
+            t0 = time.time()
+            ci = compact_probe_index(spark, idx_dir)
+            cs = compact_signature_store(spark, sig_dir)
+            print(json.dumps({
+                "compaction_sec": round(time.time() - t0, 1),
+                "idx": ci, "sig": cs,
+            }), flush=True)
 
     loop_edges = spark.read.parquet(edg_dir).select("src", "dst", "jaccard")
     t0 = time.time()
