@@ -34,7 +34,11 @@ from simages_spark.operators.groups import (
     patch_annotations,
     same_time_filter,
 )
-from simages_spark.operators.ivf import ivf_cosine_pairs, ivf_knn
+from simages_spark.operators.ivf import (
+    ivf_centroids_trained,
+    ivf_cosine_pairs,
+    ivf_knn,
+)
 from simages_spark.operators.joins import enrich_pairs
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
@@ -346,6 +350,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in SQL; value-checked against numpy in tests/test_pca.py)
         "pca_projection_2d": lambda spark, sf: pca_projection_2d(
             _emb(spark, sf), dim=64
+        ),
+        # IVF kNN with the Lloyd-TRAINED codebook (iterative k-means is
+        # not SQL-expressible; deterministic by integer-sum construction —
+        # bit-identical across partitionings, asserted in
+        # tests/test_operators.py — and recall vs exact brute force beats
+        # the lowest-id codebook at every nprobe: BENCH/ivf_recall.json)
+        "ivf_kmeans_knn": lambda spark, sf: ivf_knn(
+            _emb(spark, sf).where(F.col("vec_id") % 10 == 0),
+            _emb(spark, sf),
+            k=5,
+            n_cells=16,
+            nprobe=2,
+            centroids=ivf_centroids_trained(_emb(spark, sf), 16, n_iters=4),
         ),
     }
 

@@ -6,7 +6,7 @@ batch pipeline's checkpoint boundaries so any stage can be (re)run or
 resumed independently (north_rule: resumable with lineage + metrics):
 
     spark-submit --py-files simages_spark.zip -m simages_spark.cli \\
-        <ingest|signatures|candidates|cluster|probe|report|apply-policy|show|clear> \\
+        <ingest|signatures|candidates|cluster|probe|report|apply-policy|show|clear|compact> \\
         --input <parquet dir/table> --workdir <checkpoint root> [options]
 
 `probe` is the continuous-crawl form of the reference's `add`: a new
@@ -16,6 +16,10 @@ alongside the signatures (operators/sig_index.py) — per-batch cost never
 rescans the store payload. `--within-batch` additionally emits the
 batch's internal near-dup pairs, so probe edges ∪ corpus edges cluster
 identically to a from-scratch run on the union.
+
+`compact --stream-root <dir>` is the offline maintenance action for
+long-running crawls: folds the streaming stores' per-batch partitions
+into one compacted generation (simages_spark/maintenance.py).
 """
 
 from __future__ import annotations
@@ -52,10 +56,17 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
-        "substrings", "report", "apply-policy", "show", "clear",
+        "substrings", "report", "apply-policy", "show", "clear", "compact",
     ])
-    ap.add_argument("--input", required=True, help="corpus parquet path")
-    ap.add_argument("--workdir", required=True, help="checkpoint root")
+    ap.add_argument("--input", help="corpus parquet path")
+    ap.add_argument("--workdir", help="checkpoint root")
+    ap.add_argument("--stream-root", default=None,
+                    help="compact: root of a streaming crawl store "
+                         "(containing sig/ idx/ edges/ as written by "
+                         "stream_near_dedup / stream_crawl_dedup); folds "
+                         "all batch_id partitions of each into one "
+                         "compacted generation. Run between streaming "
+                         "runs (availableNow slots), never mid-batch.")
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--topk", type=int, default=10)
@@ -78,7 +89,32 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
+    if args.command == "compact":
+        if not args.stream_root:
+            ap.error("compact requires --stream-root")
+    elif not (args.input and args.workdir):
+        ap.error(f"{args.command} requires --input and --workdir")
+
     spark = get_spark(f"simages_{args.command}", cores=args.cores)
+
+    if args.command == "compact":
+        from simages_spark.maintenance import (
+            compact_edges_store,
+            compact_probe_index,
+            compact_signature_store,
+        )
+        from simages_spark.streaming import _hadoop_path_exists
+
+        out = {}
+        for name, fn in (("sig", compact_signature_store),
+                         ("idx", compact_probe_index),
+                         ("edges", compact_edges_store)):
+            path = f"{args.stream_root.rstrip('/')}/{name}"
+            if _hadoop_path_exists(spark, path):
+                out[name] = fn(spark, path)
+        print(json.dumps(out))
+        spark.stop()
+        return 0
     cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir,
                       exact_first=not args.all_pairs_edges)
     fp = config_fingerprint(cfg)
