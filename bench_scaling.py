@@ -1,13 +1,25 @@
-"""Scaling-efficiency evidence: same e2e dedup job at local[8] vs local[32].
+"""Scaling-efficiency evidence: same e2e dedup job at local[N] vs local[4N].
 
 Sandbox proxy for the north rule's N vs 4N executor criterion (no real
 cluster available): one JVM per parallelism level (fresh subprocess), same
 deterministic synthetic corpus, throughput reported at both levels plus
 efficiency = tput@4N / (4 × tput@N). Results land in BENCH/BASELINE.md.
 
-Usage:
-  python bench_scaling.py                 # orchestrates both levels
-  python bench_scaling.py --cores 8      # single measurement (internal)
+Two launch modes per level:
+
+  python bench_scaling.py            # plain python child processes
+  python bench_scaling.py --submit   # the north rule's literal run mode:
+                                     #   spark-submit --master local[N]
+                                     #     --py-files dist/simages_spark.zip
+                                     #     tools/submit_scaling_driver.py
+                                     # with cwd OUTSIDE the repo and a
+                                     # scrubbed PYTHONPATH, so every import
+                                     # resolves from the shipped zip (the
+                                     # artifact a real cluster's executors
+                                     # would receive); the driver aborts if
+                                     # the package did not come from the zip.
+
+Internal: `--cores N` runs a single measurement in-process.
 """
 
 from __future__ import annotations
@@ -20,6 +32,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 # 1.2M: at 300k the round-2 signature speedup left local[32] latency-bound
 # (24.3s vs 21.2s, efficiency 0.287 — fixed job overhead, not scaling);
@@ -38,135 +52,91 @@ LEVELS = tuple(
 )
 
 
-def measure(cores: int) -> dict:
-    from simages_spark.config import DedupConfig
-    from simages_spark.functions.signatures import compute_signatures
-    from simages_spark.operators.connected_components import connected_components
-    from simages_spark.pipeline import (
-        build_candidates,
-        build_edges,
-        representative_docs,
-    )
-    from simages_spark.session import get_spark
-    from simages_spark.sources.corpus import generate_pages, mint_doc_ids
+def _pin(cmd: list[str], cores: int) -> list[str]:
+    # taskset pins the whole JVM (GC, shuffle, python workers) to N CPUs —
+    # otherwise local[8] borrows all 32 machine cores for its auxiliary
+    # thread pools and the comparison under-reports scaling
+    if os.path.exists("/usr/bin/taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    return cmd
 
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
-    cfg = DedupConfig()
-    docs = (
-        mint_doc_ids(generate_pages(spark, N_DOCS, seed=42, partitions=cores * 4))
-        .select("doc_id", "text")
-        .persist()
-    )
-    n = docs.count()  # materialize input so we time the pipeline, not gen
 
-    # Warm-up pass on a small slice: the first execution of each operator
-    # JIT-compiles Spark's large generated methods (~40-150s per fresh JVM
-    # in this sandbox, independent of data size). A real cluster amortizes
-    # this over hours-long jobs; timing it here would measure the JIT, not
-    # the pipeline.
-    warm = docs.limit(5000).persist()
-    warm.count()
-    wsig = compute_signatures(representative_docs(warm), cfg).persist()
-    wcand = build_candidates(warm, wsig, cfg).persist()
-    wedges = build_edges(wcand, wsig, warm, cfg).persist()
-    connected_components(wedges, cfg).count()
-    for df in (wedges, wcand, wsig, warm):
-        df.unpersist()
+def _launch_plain(cores: int) -> tuple[list[str], dict, str]:
+    cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
+    return _pin(cmd, cores), dict(os.environ), REPO
 
-    # 3 repetitions, best-of taken per run: the sandbox VM has 5-15% CPU
-    # steal with large run-to-run variance; min is the standard
-    # noise-robust estimator for "what the hardware can do".
-    reps = []
-    for _ in range(3):
-        stages: dict[str, float] = {}
-        t0 = time.time()
 
-        t = time.time()
-        sig = compute_signatures(
-            representative_docs(docs) if cfg.exact_first else docs, cfg
-        ).persist()
-        sig.count()
-        stages["signatures"] = round(time.time() - t, 2)
-
-        t = time.time()
-        cand = build_candidates(docs, sig, cfg).persist()
-        n_cand = cand.count()
-        stages["candidates"] = round(time.time() - t, 2)
-
-        t = time.time()
-        edges = build_edges(cand, sig, docs, cfg).persist()
-        n_edges = edges.count()
-        stages["verify"] = round(time.time() - t, 2)
-
-        t = time.time()
-        clusters = connected_components(edges, cfg)
-        n_cluster_rows = clusters.count()
-        stages["cc"] = round(time.time() - t, 2)
-
-        elapsed = time.time() - t0
-        reps.append(
-            {
-                "stages": stages,
-                "elapsed_sec": round(elapsed, 2),
-                "counts": (n_cand, n_edges, n_cluster_rows),
-            }
-        )
-        for df in (edges, cand, sig):
-            df.unpersist()
-
-    assert len({r["counts"] for r in reps}) == 1, "nondeterministic output!"
-    best = min(reps, key=lambda r: r["elapsed_sec"])
-    n_cand, n_edges, n_cluster_rows = best["counts"]
-    out = {
-        "cores": cores,
-        "n_docs": n,
-        "n_candidates": n_cand,
-        "n_edges": n_edges,
-        "n_cluster_rows": n_cluster_rows,
-        "stages": best["stages"],
-        "elapsed_sec": best["elapsed_sec"],
-        "docs_per_sec": round(n / best["elapsed_sec"], 2),
-        "all_reps_sec": [r["elapsed_sec"] for r in reps],
-    }
-    spark.stop()
-    return out
+def _launch_submit(cores: int, zip_path: str) -> tuple[list[str], dict, str]:
+    mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", mem,
+        # session.py sets these via the builder, which is too late for the
+        # driver JVM under spark-submit (the gateway JVM starts before the
+        # builder runs) — pass them on the submit command line instead
+        "--conf",
+        (
+            "spark.driver.extraJavaOptions="
+            f"-Xms{mem} -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 "
+            "-XX:CICompilerCount=6"
+        ),
+        "--py-files", zip_path,
+        os.path.join(REPO, "tools", "submit_scaling_driver.py"),
+        "--cores", str(cores),
+        "--n-docs", str(N_DOCS),
+    ]
+    env = dict(os.environ)
+    # the proof is that the zip ALONE provides the package: no repo on the
+    # import path, cwd outside the repo
+    env.pop("PYTHONPATH", None)
+    env.setdefault("PYSPARK_PYTHON", sys.executable)
+    env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+    return _pin(cmd, cores), env, "/tmp"
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--submit", action="store_true",
+                    help="launch each level via spark-submit --py-files")
     args = ap.parse_args()
     if args.cores:
-        print("RESULT " + json.dumps(measure(args.cores)))
+        from simages_spark.benchmarks import measure_scaling
+
+        print("RESULT " + json.dumps(measure_scaling(args.cores, N_DOCS)))
         return
+
+    zip_path = None
+    if args.submit:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from make_pyfiles_zip import build_zip
+
+        zip_path = build_zip()
+        print(f"built --py-files artifact: {zip_path}")
 
     lo, hi = LEVELS
     assert hi == 4 * lo, "levels must be N and 4N"
     results = {}
     for cores in (lo, hi):
-        # taskset pins the whole JVM (GC, shuffle, python workers) to N
-        # CPUs — otherwise local[8] borrows all 32 machine cores for its
-        # auxiliary thread pools and the comparison under-reports scaling
-        cmd = [sys.executable, __file__, "--cores", str(cores)]
-        if os.path.exists("/usr/bin/taskset"):
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(
-            cmd,
-            capture_output=True,
-            text=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+        cmd, env, cwd = (
+            _launch_submit(cores, zip_path) if args.submit else _launch_plain(cores)
         )
+        t0 = time.time()
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=cwd, env=env)
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
             print(proc.stdout[-3000:], proc.stderr[-3000:])
             raise SystemExit(f"measurement at cores={cores} failed")
         results[cores] = json.loads(line[-1][len("RESULT "):])
+        results[cores]["wall_sec_incl_startup"] = round(time.time() - t0, 1)
         print(f"local[{cores}]: {results[cores]}")
 
     t_lo, t_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
     eff = t_hi / (4 * t_lo)
     summary = {
         "n_docs": N_DOCS,
+        "launch_mode": "spark-submit --py-files" if args.submit else "python",
         f"throughput_local{lo}_docs_per_sec": t_lo,
         f"throughput_local{hi}_docs_per_sec": t_hi,
         f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
@@ -174,8 +144,8 @@ def main() -> None:
         == results[hi]["n_cluster_rows"],
     }
     print(json.dumps(summary))
-    os.makedirs("BENCH", exist_ok=True)
-    with open(f"BENCH/scaling_{lo}_{hi}.json", "w") as f:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, f"BENCH/scaling_{lo}_{hi}.json"), "w") as f:
         json.dump({"runs": results, "summary": summary}, f, indent=2)
 
 
