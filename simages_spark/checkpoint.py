@@ -168,3 +168,127 @@ class CheckpointStore:
             if fingerprint is None or stored == fingerprint:
                 return self.read(name)
         return self.write(name, compute(), run_id=run_id, fingerprint=fingerprint)
+
+
+class TableCheckpointStore:
+    """Checkpoint stages as versions of an ACID `SnapshotTable` — the
+    lakehouse-shaped backend the module docstring promises (north_rule:
+    "checkpoints per-partition signature and edge state to Iceberg ...
+    resumes with full lineage and metrics").
+
+    Layout: one SnapshotTable per stage at `<root>/<name>/`. Each write
+    is a new table VERSION whose manifest carries the stage metrics
+    (run_id, fingerprint, rows, per-partition lineage) as commit
+    properties — the same shape as Iceberg snapshot summary properties,
+    so on a real catalog this maps 1:1 onto `table.snapshots()`.
+
+    What this buys over the directory store (same interface):
+      * the commit point is ONE atomic+exclusive hardlink — there is no
+        two-rename window that can leave "no stage at all" (the dir
+        store's one documented crash caveat);
+      * every rerun of a stage is preserved as history: `history(name)`
+        is the stage's full lineage, `read(name, version=...)` time-
+        travels to any prior run's output, and a config-fingerprint
+        change is an auditable new version instead of an in-place swap;
+      * concurrent writers of the same stage serialize through optimistic
+        commits instead of last-rename-wins.
+
+    Metrics are computed from the staged files BEFORE the commit is
+    published, so a version's manifest always describes exactly the data
+    it references (never a post-hoc sidecar that can diverge).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _table(self, name: str):
+        from simages_spark.table import SnapshotTable
+
+        return SnapshotTable(self.spark, os.path.join(self.root, name))
+
+    def exists(self, name: str) -> bool:
+        if not os.path.isdir(os.path.join(self.root, name)):
+            return False
+        return self._table(name).current_version() is not None
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        run_id: str | None = None,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
+        run_id = run_id or f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
+        t = self._table(name)
+        with_lineage = df.withColumn("part_id", F.spark_partition_id()).withColumn(
+            "stage_run_id", F.lit(run_id)
+        )
+        # stage first, derive the metrics from the staged bytes, then
+        # commit a manifest that carries them — one Spark write total
+        gid, gstats = t._stage_group_with_stats(with_lineage)
+        staged = self.spark.read.parquet(t._group_path(gid))
+        schema = staged.schema.simpleString()
+        props = {
+            "name": name,
+            "run_id": run_id,
+            "fingerprint": fingerprint,
+            "rows": staged.count(),
+            "partitions": staged.select("part_id").distinct().count(),
+            "written_at_unix": time.time(),
+            "schema": schema,
+        }
+        t._commit_with_retry(
+            lambda base: ([gid], {gid: gstats}, schema),
+            "checkpoint",
+            props=props,
+        )
+        return staged.drop("part_id", "stage_run_id")
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        if not self.exists(name):
+            raise FileNotFoundError(
+                f"checkpoint stage '{name}' not found under {self.root} — "
+                f"run the producing stage first"
+            )
+        return self._table(name).read(version).drop("part_id", "stage_run_id")
+
+    def metrics(self, name: str, version: int | None = None) -> dict:
+        t = self._table(name)
+        v = t.current_version() if version is None else version
+        return t.manifest(v).get("props") or {}
+
+    def history(self, name: str) -> list[dict]:
+        """Full stage lineage: every run's commit properties, oldest
+        first — the audit trail a directory swap discards."""
+        t = self._table(name)
+        return [
+            {"version": m["version"], **(m.get("props") or {})}
+            for m in t.history()
+        ]
+
+    def get_or_compute(
+        self,
+        name: str,
+        compute,
+        run_id: str | None = None,
+        fingerprint: str | None = None,
+    ) -> DataFrame:
+        if self.exists(name):
+            stored = self.metrics(name).get("fingerprint")
+            if fingerprint is None or stored == fingerprint:
+                return self.read(name)
+        return self.write(name, compute(), run_id=run_id, fingerprint=fingerprint)
+
+
+def make_checkpoint_store(
+    spark: SparkSession, root: str, backend: str = "dirs"
+):
+    """Factory: `dirs` = parquet directory swaps (default, zero deps),
+    `table` = SnapshotTable-versioned stages with commit-time lineage."""
+    if backend == "table":
+        return TableCheckpointStore(spark, root)
+    if backend == "dirs":
+        return CheckpointStore(spark, root)
+    raise ValueError(f"unknown checkpoint backend {backend!r}")

@@ -20,6 +20,12 @@ identically to a from-scratch run on the union.
 `compact --stream-root <dir>` is the offline maintenance action for
 long-running crawls: folds the streaming stores' per-batch partitions
 into one compacted generation (simages_spark/maintenance.py).
+
+`--checkpoint-backend table` checkpoints every stage as a version of an
+ACID SnapshotTable instead of a directory swap: single-hardlink atomic
+commits, the full run history per stage, and stage time travel
+(checkpoint.TableCheckpointStore). The --py-files artifact itself is
+built by tools/make_pyfiles_zip.py (deterministic bytes).
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ import sys
 
 from pyspark.sql import functions as F
 
-from simages_spark.checkpoint import CheckpointStore, config_fingerprint
+from simages_spark.checkpoint import config_fingerprint, make_checkpoint_store
 from simages_spark.config import DedupConfig
 from simages_spark.functions.signatures import compute_signatures, signature_metrics
 from simages_spark.operators.connected_components import connected_components
@@ -87,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
                          "within-group edges, instead of one representative "
                          "per distinct text + linear star edges")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--checkpoint-backend", choices=["dirs", "table"],
+                    default="dirs",
+                    help="'table' checkpoints each stage as a version of "
+                         "an ACID SnapshotTable: atomic single-hardlink "
+                         "commits, full per-stage run history, and stage "
+                         "time travel (checkpoint.TableCheckpointStore)")
     args = ap.parse_args(argv)
 
     if args.command == "compact":
@@ -116,9 +128,10 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
     cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir,
-                      exact_first=not args.all_pairs_edges)
+                      exact_first=not args.all_pairs_edges,
+                      checkpoint_backend=args.checkpoint_backend)
     fp = config_fingerprint(cfg)
-    store = CheckpointStore(spark, args.workdir)
+    store = make_checkpoint_store(spark, args.workdir, args.checkpoint_backend)
     docs = _load_docs(spark, args.input)
 
     if args.command == "ingest":

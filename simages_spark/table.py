@@ -193,6 +193,7 @@ class SnapshotTable:
         stats: dict,
         op: str,
         schema: str,
+        props: dict | None = None,
     ) -> int:
         """Publish the next manifest atomically AND exclusively: the JSON
         is fully written + fsynced to a tmp path, then `os.link`ed into
@@ -209,6 +210,11 @@ class SnapshotTable:
             "schema": schema,
             "committed_at_unix": time.time(),
         }
+        if props:
+            # caller-supplied commit properties (e.g. a checkpoint stage's
+            # run_id/fingerprint/metrics — see checkpoint.TableCheckpointStore);
+            # recorded in the manifest so lineage travels with the version
+            manifest["props"] = props
         tmp = self._manifest_path(next_v) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2)
@@ -224,7 +230,9 @@ class SnapshotTable:
             os.unlink(tmp)
         return next_v
 
-    def _commit_with_retry(self, mutate, op: str, max_retries: int = 10) -> int:
+    def _commit_with_retry(
+        self, mutate, op: str, max_retries: int = 10, props: dict | None = None
+    ) -> int:
         """Optimistic loop: `mutate(current_version_or_None)` returns the
         next snapshot's (groups, group_stats, schema); on conflict,
         re-read and rebase."""
@@ -232,7 +240,7 @@ class SnapshotTable:
             base = self.current_version()
             groups, stats, schema = mutate(base)
             try:
-                return self._try_commit(base, groups, stats, op, schema)
+                return self._try_commit(base, groups, stats, op, schema, props)
             except CommitConflict:
                 continue
         raise CommitConflict(f"gave up after {max_retries} rebases")
@@ -463,6 +471,99 @@ class SnapshotTable:
         return self._commit_with_retry(mutate, "truncate")
 
     # ---------- maintenance ----------
+
+    def compact(self, target_rows: int = 1_000_000, max_attempts: int = 3) -> dict:
+        """Bin-pack small data groups into ~`target_rows` groups (the
+        Iceberg `rewrite_data_files` analog). Streaming/incremental ingest
+        commits one group per append, so after 10⁴ appends every read
+        lists 10⁴ parquet directories and every stats-prune walks 10⁴
+        manifest entries; compaction folds them without changing the
+        table's rows at any version.
+
+        Safety against concurrent writers: the packed groups are staged
+        first, then the commit VALIDATES that every source group is still
+        referenced by the (possibly rebased) base snapshot. A concurrent
+        delete/upsert that rewrote a source group invalidates the staged
+        pack — committing it would resurrect deleted rows — so compaction
+        re-plans from the new snapshot (up to `max_attempts`). Concurrent
+        APPENDS commute: their new groups are simply carried.
+        """
+        last_reason = "empty table"
+        for _ in range(max_attempts):
+            base = self.current_version()
+            if base is None:
+                return {"compacted": False, "reason": "empty table"}
+            man = self.manifest(base)
+            stats = man.get("group_stats") or {}
+
+            def group_rows(g: str) -> int:
+                st = stats.get(g)
+                if st and "rows" in st:
+                    return st["rows"]
+                # pre-stats table: harvest from footers (zero Spark jobs)
+                return self._collect_group_stats(g)["rows"]
+
+            small = sorted(
+                (g for g in man["data_groups"] if group_rows(g) < target_rows),
+                key=group_rows,
+            )
+            bins: list[list[str]] = []
+            cur: list[str] = []
+            cur_rows = 0
+            for g in small:
+                r = group_rows(g)
+                if cur and cur_rows + r > target_rows:
+                    bins.append(cur)
+                    cur, cur_rows = [], 0
+                cur.append(g)
+                cur_rows += r
+            if cur:
+                bins.append(cur)
+            bins = [b for b in bins if len(b) >= 2]
+            if not bins:
+                return {
+                    "compacted": False,
+                    "reason": "nothing to fold",
+                    "n_groups": len(man["data_groups"]),
+                }
+
+            staged = []  # (new_gid, new_stats, source_bin)
+            for b in bins:
+                packed = self.spark.read.parquet(
+                    *[self._group_path(g) for g in b]
+                )
+                gid, gstats = self._stage_group_with_stats(packed)
+                staged.append((gid, gstats, b))
+            sources = {g for _, _, b in staged for g in b}
+
+            class _SourcesChanged(Exception):
+                pass
+
+            def mutate(base2):
+                man2 = self.manifest(base2)
+                current = man2["data_groups"]
+                if not sources <= set(current):
+                    raise _SourcesChanged()  # a source was rewritten away
+                keep = [g for g in current if g not in sources]
+                groups = keep + [gid for gid, _, _ in staged]
+                st = self._carried_stats(man2, keep)
+                for gid, gstats, _ in staged:
+                    st[gid] = gstats
+                return groups, st, man2["schema"]
+
+            try:
+                v = self._commit_with_retry(mutate, "compact")
+                return {
+                    "compacted": True,
+                    "version": v,
+                    "folded_groups": len(sources),
+                    "new_groups": len(staged),
+                    "n_groups": len(self.manifest(v)["data_groups"]),
+                }
+            except _SourcesChanged:
+                last_reason = "a source group was rewritten concurrently"
+                continue  # re-plan against the new snapshot
+        return {"compacted": False, "reason": last_reason}
 
     def vacuum(self, min_age_s: float = 3600.0) -> int:
         """Remove data groups referenced by NO manifest (crashed writers'

@@ -120,3 +120,67 @@ def test_probe_flow_with_checkpointed_index(spark, docs_sf0001, tmp_path):
     assert (
         exact.select("src").distinct().count() == batch.count()
     )  # every re-crawled doc matches the store
+
+
+def test_table_checkpoint_backend(spark, docs_sf0001, tmp_path):
+    """TableCheckpointStore: same stagewise flow as the dirs backend, plus
+    what the table form adds — per-stage version history (lineage of
+    reruns), stage time travel, and commit-time metrics."""
+    from simages_spark.checkpoint import (
+        config_fingerprint,
+        make_checkpoint_store,
+    )
+
+    store = make_checkpoint_store(spark, str(tmp_path / "twd"), "table")
+    fp = config_fingerprint(CFG)
+
+    sig = store.get_or_compute(
+        "signatures",
+        lambda: compute_signatures(representative_docs(docs_sf0001), CFG),
+        fingerprint=fp,
+    )
+    n_sig = sig.count()
+    assert store.exists("signatures")
+    meta = store.metrics("signatures")
+    assert meta["rows"] == n_sig and meta["fingerprint"] == fp
+    assert meta["partitions"] >= 1  # per-partition lineage recorded
+    # lineage columns stored but not surfaced
+    assert "part_id" not in sig.columns and "stage_run_id" not in sig.columns
+
+    # resume-skip: compute must not run again under the same fingerprint
+    sig2 = store.get_or_compute("signatures", lambda: 1 / 0, fingerprint=fp)
+    assert sig2.count() == n_sig
+    assert len(store.history("signatures")) == 1
+
+    # a config change is a NEW VERSION, and the old run stays readable
+    cfg2 = DedupConfig(jaccard_threshold=0.9)
+    store.get_or_compute(
+        "signatures",
+        lambda: compute_signatures(representative_docs(docs_sf0001), cfg2),
+        fingerprint=config_fingerprint(cfg2),
+    )
+    hist = store.history("signatures")
+    assert len(hist) == 2 and hist[0]["fingerprint"] == fp
+    assert store.read("signatures", version=0).count() == n_sig  # time travel
+    assert store.metrics("signatures", version=0)["fingerprint"] == fp
+
+    # downstream stages flow identically to the dirs backend
+    cand = store.get_or_compute(
+        "candidates", lambda: build_candidates(docs_sf0001, sig, CFG)
+    )
+    edges = store.get_or_compute(
+        "edges", lambda: build_edges(cand, sig, docs_sf0001, CFG)
+    )
+    clusters = store.get_or_compute(
+        "clusters", lambda: connected_components(edges, CFG)
+    )
+    assert clusters.count() > 0
+
+    # both backends produce identical stage rows on the same input
+    dstore = make_checkpoint_store(spark, str(tmp_path / "dwd"), "dirs")
+    dsig = dstore.get_or_compute(
+        "signatures",
+        lambda: compute_signatures(representative_docs(docs_sf0001), CFG),
+        fingerprint=fp,
+    )
+    assert dsig.exceptAll(store.read("signatures", version=0)).count() == 0

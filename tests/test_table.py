@@ -257,3 +257,81 @@ def test_truncate_keeps_history(spark, tmp_path):
     assert t.read(version=v - 1).count() == 6      # history intact
     t.append(_df(spark, [42]))                     # table usable after
     assert {r["doc_id"] for r in t.read().collect()} == {42}
+
+
+def test_compact_folds_small_groups(spark, tmp_path):
+    """compact() bin-packs small groups, leaves big ones alone, changes
+    no rows at any version, and records stats for the packed groups."""
+    t = SnapshotTable(spark, str(tmp_path / "tc1"))
+    for g in range(8):  # 8 small appends of 10 rows
+        t.append(_df(spark, range(g * 10, g * 10 + 10)))
+    t.append(_df(spark, range(1000, 1500)))  # one big group (500 rows)
+    before = {r["doc_id"] for r in t.read().collect()}
+    big = t.manifest(t.current_version())["data_groups"][-1]
+
+    out = t.compact(target_rows=100)
+    assert out["compacted"] and out["folded_groups"] == 8
+    man = t.manifest(t.current_version())
+    assert big in man["data_groups"]  # ≥ target group untouched
+    assert len(man["data_groups"]) == 1 + out["new_groups"]
+    assert {r["doc_id"] for r in t.read().collect()} == before
+    # packed groups carry commit-time stats for future pruning
+    for g in man["data_groups"]:
+        assert man["group_stats"][g]["rows"] > 0
+    # history still time-travels to pre-compaction versions
+    assert t.read(version=0).count() == 10
+    # idempotent: a second compact finds nothing to fold
+    assert t.compact(target_rows=100)["compacted"] is False
+
+
+def test_compact_replans_when_source_rewritten(spark, tmp_path):
+    """A concurrent DELETE that rewrites a source group must invalidate
+    the staged pack (committing it would resurrect deleted rows): the
+    first commit attempt conflicts, the rebase detects the vanished
+    source, and compaction re-plans from the post-delete snapshot."""
+    root = str(tmp_path / "tc2")
+    t = SnapshotTable(spark, root)
+    for g in range(4):
+        t.append(_df(spark, range(g * 10, g * 10 + 10)))
+
+    orig = t._try_commit
+    fired = {"n": 0}
+
+    def hook(base, groups, stats, op, schema, props=None):
+        if op == "compact" and fired["n"] == 0:
+            fired["n"] += 1
+            # another writer deletes rows from a compaction source group
+            SnapshotTable(spark, root).delete_matching(
+                spark.createDataFrame([(5,), (7,)], "doc_id long"), "doc_id"
+            )
+        return orig(base, groups, stats, op, schema, props)
+
+    t._try_commit = hook
+    out = t.compact(target_rows=1000)
+    assert out["compacted"] and fired["n"] == 1
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(40)) - {5, 7}  # deletes NOT resurrected
+
+
+def test_compact_carries_concurrent_append(spark, tmp_path):
+    """Appends commute with compaction: a group committed between staging
+    and commit is carried by reference, never dropped."""
+    root = str(tmp_path / "tc3")
+    t = SnapshotTable(spark, root)
+    for g in range(4):
+        t.append(_df(spark, range(g * 10, g * 10 + 10)))
+
+    orig = t._try_commit
+    fired = {"n": 0}
+
+    def hook(base, groups, stats, op, schema, props=None):
+        if op == "compact" and fired["n"] == 0:
+            fired["n"] += 1
+            SnapshotTable(spark, root).append(_df(spark, range(500, 510)))
+        return orig(base, groups, stats, op, schema, props)
+
+    t._try_commit = hook
+    out = t.compact(target_rows=1000)
+    assert out["compacted"]
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == set(range(40)) | set(range(500, 510))
