@@ -565,6 +565,29 @@ class SnapshotTable:
                 continue  # re-plan against the new snapshot
         return {"compacted": False, "reason": last_reason}
 
+    def expire_snapshots(self, keep_last: int = 10) -> dict:
+        """Retention: drop all but the newest `keep_last` version
+        manifests (Iceberg's expire_snapshots). Time travel to an
+        expired version stops working — that is the point: groups
+        referenced ONLY by expired versions become unreferenced, so a
+        following `vacuum()` can reclaim the space that compaction,
+        deletes, and truncates logically freed. Without expiry the
+        history pins every group ever written, forever.
+
+        Safe against concurrent commits: only manifests strictly older
+        than the newest `keep_last` are unlinked, and commits only ever
+        create NEW versions above the current maximum."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current version)")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        for v in expired:
+            try:
+                os.unlink(self._manifest_path(v))
+            except FileNotFoundError:
+                pass  # concurrent expiry
+        return {"expired": len(expired), "kept": min(len(vs), keep_last)}
+
     def vacuum(self, min_age_s: float = 3600.0) -> int:
         """Remove data groups referenced by NO manifest (crashed writers'
         leftovers). Never touches groups any historical version can read,

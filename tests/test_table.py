@@ -335,3 +335,27 @@ def test_compact_carries_concurrent_append(spark, tmp_path):
     assert out["compacted"]
     got = {r["doc_id"] for r in t.read().collect()}
     assert got == set(range(40)) | set(range(500, 510))
+
+
+def test_expire_snapshots_then_vacuum_reclaims(spark, tmp_path):
+    """expire_snapshots drops old manifests; groups referenced only by
+    expired versions become vacuumable — the retention step that lets
+    compaction/delete actually free space."""
+    t = SnapshotTable(spark, str(tmp_path / "tx1"))
+    for g in range(5):
+        t.append(_df(spark, range(g * 10, g * 10 + 10)))
+    t.compact(target_rows=1000)  # folds all 5 into 1; old groups pinned by history
+    before = {r["doc_id"] for r in t.read().collect()}
+    data_dir = tmp_path / "tx1" / "data"
+    assert len(list(data_dir.iterdir())) == 6  # 5 originals + the pack
+    assert t.vacuum(min_age_s=0) == 0  # history still references all
+
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired"] == 5 and t.versions() == [5]
+    assert t.vacuum(min_age_s=0) == 5  # originals reclaimed
+    assert len(list(data_dir.iterdir())) == 1
+    assert {r["doc_id"] for r in t.read().collect()} == before
+    # expired versions are gone from history; current still commits
+    t.append(_df(spark, range(900, 910)))
+    assert t.read().count() == len(before) + 10
+    assert t.expire_snapshots(keep_last=10)["expired"] == 0  # no-op
