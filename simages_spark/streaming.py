@@ -51,6 +51,54 @@ def stream_signatures(
     )
 
 
+def stream_signatures_to_table(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    schema: str = DOCS_SCHEMA,
+) -> StreamingQuery:
+    """`stream_signatures` with the ACID `SnapshotTable` as the sink:
+    each micro-batch commits as ONE atomic snapshot version tagged with
+    its stream batch id (`append_exactly_once`), so the signature state
+    lands in the versioned table with full per-batch lineage — the
+    north rule's "checkpoints per-partition signature state to Iceberg"
+    for the STREAMING path (TableCheckpointStore covers the batch
+    stages).
+
+    Exactly-once end to end: foreachBatch is at-least-once on retry, but
+    a replayed batch id is ≤ the table's recorded high-water mark for
+    this stream and is skipped with one manifest read — the parquet-dir
+    sink's dynamic partition-overwrite trick, re-expressed as a table
+    commit protocol. History doubles as the ingest audit log
+    (`history()` → one manifest per batch, with `sources` watermarks);
+    time travel reads the corpus as of any batch."""
+    from simages_spark.table import SnapshotTable
+
+    cfg = cfg or DedupConfig()
+    # stream id ties watermarks to THIS query's checkpoint: a fresh
+    # checkpoint restarts batch ids at 0, which must not collide with
+    # another query's (or a rebuilt checkpoint's) sequence
+    stream_id = f"stream_signatures:{checkpoint_dir}"
+    incoming = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        sigs = compute_signatures(batch_df.select("doc_id", "text"), cfg).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        SnapshotTable(batch_df.sparkSession, table_root).append_exactly_once(
+            sigs, source_id=stream_id, seq=batch_id
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API — correct on any
     Spark-visible filesystem (HDFS/S3A/local), unlike os.path.exists

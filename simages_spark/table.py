@@ -128,6 +128,58 @@ class SnapshotTable:
             )
         return self.spark.read.parquet(*[self._group_path(g) for g in groups])
 
+    def scan(
+        self,
+        predicates: list[tuple[str, object, object]] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned read: `predicates` is a list of closed ranges
+        `(column, lo, hi)` (a `None` bound is unbounded; equality is
+        `(c, v, v)`). Groups whose manifest [min,max] for any predicated
+        column misses its range are skipped on the DRIVER — no Spark job,
+        no file listing, no footer read — which is what makes a selective
+        read on a 10⁵-group table cost only the affected groups (the
+        Iceberg manifest-pruning read path). The residual range filter is
+        still applied to the surviving groups' scan (stats are
+        conservative, never a substitute for the filter), so results are
+        exactly `read(version).where(...)`. Columns without harvested
+        stats never prune (see `_STAT_TYPES`)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"snapshot table at {self.root} has no versions")
+        man = self.manifest(v)
+        stats = man.get("group_stats") or {}
+        preds = list(predicates or [])
+        keep = [
+            g
+            for g in man["data_groups"]
+            if all(self._range_hits(stats.get(g), c, lo, hi) for c, lo, hi in preds)
+        ]
+        if keep:
+            df = self.spark.read.parquet(*[self._group_path(g) for g in keep])
+        else:
+            df = self.spark.createDataFrame([], man["schema"])
+        for c, lo, hi in preds:
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+        return df
+
+    @staticmethod
+    def _range_hits(st: dict | None, col: str, lo, hi) -> bool:
+        """Can a group with stats `st` contain a row with `col` in
+        [lo, hi]? Missing stats → yes (conservative)."""
+        rng = ((st or {}).get("columns") or {}).get(col)
+        if rng is None:
+            return True
+        gmin, gmax = rng
+        if lo is not None and gmax < lo:
+            return False
+        if hi is not None and gmin > hi:
+            return False
+        return True
+
     # ---------- commit machinery ----------
 
     def _stage_group(self, df: DataFrame) -> str:
@@ -194,6 +246,7 @@ class SnapshotTable:
         op: str,
         schema: str,
         props: dict | None = None,
+        source_update: tuple[str, int] | None = None,
     ) -> int:
         """Publish the next manifest atomically AND exclusively: the JSON
         is fully written + fsynced to a tmp path, then `os.link`ed into
@@ -210,6 +263,20 @@ class SnapshotTable:
             "schema": schema,
             "committed_at_unix": time.time(),
         }
+        # per-source high-water marks (exactly-once streaming appends,
+        # `append_exactly_once`) are carried forward by EVERY commit so a
+        # duplicate-delivery check only ever reads the CURRENT manifest —
+        # no history walk, constant cost at any version count
+        sources = (
+            dict(self.manifest(base_version).get("sources") or {})
+            if base_version is not None
+            else {}
+        )
+        if source_update is not None:
+            sid, seq = source_update
+            sources[sid] = max(int(seq), int(sources.get(sid, -1)))
+        if sources:
+            manifest["sources"] = sources
         if props:
             # caller-supplied commit properties (e.g. a checkpoint stage's
             # run_id/fingerprint/metrics — see checkpoint.TableCheckpointStore);
@@ -324,6 +391,55 @@ class SnapshotTable:
             return prior + [gid], stats, schema
 
         return self._commit_with_retry(mutate, "append")
+
+    def append_exactly_once(
+        self, df: DataFrame, source_id: str, seq: int, max_retries: int = 10
+    ) -> int | None:
+        """Idempotent append for at-least-once producers (Structured
+        Streaming `foreachBatch` replays a failed batch): commits are
+        tagged with a per-source monotonic sequence number and the table
+        carries each source's high-water mark in the CURRENT manifest, so
+        a duplicate delivery (`seq` ≤ mark) is detected with one manifest
+        read — no history walk — and skipped (returns None). The check is
+        re-evaluated inside the optimistic-commit loop, so two workers
+        replaying the same batch race to one commit: the loser rebases,
+        sees the mark advanced, and skips. Staging happens only after the
+        first check passes; a skip after a lost race removes the staged
+        group (it was never referenced)."""
+        schema = df.schema.simpleString()
+        gid = gstats = None
+        try:
+            for _ in range(max_retries):
+                base = self.current_version()
+                if base is None:
+                    prior, stats = [], {}
+                else:
+                    man = self.manifest(base)
+                    if int((man.get("sources") or {}).get(source_id, -1)) >= seq:
+                        return None  # duplicate delivery
+                    self._check_schema(man, schema, "append")
+                    prior = man["data_groups"]
+                    stats = self._carried_stats(man, prior)
+                if gid is None:
+                    gid, gstats = self._stage_group_with_stats(df)
+                stats[gid] = gstats
+                try:
+                    v = self._try_commit(
+                        base,
+                        prior + [gid],
+                        stats,
+                        "append",
+                        schema,
+                        source_update=(source_id, seq),
+                    )
+                    gid = None  # committed — now referenced, don't clean up
+                    return v
+                except CommitConflict:
+                    continue
+            raise CommitConflict(f"gave up after {max_retries} rebases")
+        finally:
+            if gid is not None:
+                shutil.rmtree(self._group_path(gid), ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> int:
         gid, gstats = self._stage_group_with_stats(df)
@@ -459,9 +575,9 @@ class SnapshotTable:
     def truncate(self) -> int:
         """TRUNCATE TABLE (reference `clear`,
         src/simages/duplicate_finder.py:233-234) as a snapshot: commits an
-        EMPTY version — history stays time-travelable until vacuumed by a
-        retention job that also drops old manifests (not implemented:
-        retention policy is deployment config)."""
+        EMPTY version — history stays time-travelable until
+        `expire_snapshots` drops old manifests and `vacuum` reclaims the
+        unreferenced groups (retention period is deployment config)."""
 
         def mutate(base):
             if base is None:

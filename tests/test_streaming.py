@@ -234,3 +234,61 @@ def test_stream_crawl_dedup_flood_and_cluster_equality(spark, tmp_path):
         for r in connected_components(crawl_edges(spark, root), CFG).collect()
     }
     assert loop == scratch and len(loop) >= 35  # flood docs all clustered
+
+
+def test_stream_signatures_to_table_exactly_once(spark, tmp_path):
+    """Micro-batches land as atomic SnapshotTable versions; a replayed
+    batch id (foreachBatch's at-least-once retry) is skipped via the
+    manifest's per-source high-water mark; restart resumes."""
+    from simages_spark.streaming import stream_signatures_to_table
+    from simages_spark.table import SnapshotTable
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "sig_table")
+    ckpt = str(tmp_path / "ckpt_t")
+    os.makedirs(inp, exist_ok=True)
+
+    _write_batch(spark, inp, [(1, "a b c d e f g", "en", "s", 13),
+                              (2, "h i j k l m n", "en", "s", 13)])
+    stream_signatures_to_table(spark, inp, root, ckpt, CFG).awaitTermination()
+    t = SnapshotTable(spark, root)
+    assert t.read().count() == 2
+
+    # restart on new files: resumes from the checkpoint, commits a new version
+    _write_batch(spark, inp, [(3, "o p q r s t u", "en", "s", 13)])
+    stream_signatures_to_table(spark, inp, root, ckpt, CFG).awaitTermination()
+    got = t.read()
+    assert {r["doc_id"] for r in got.collect()} == {1, 2, 3}
+    v_after = t.current_version()
+
+    # watermarks recorded under this stream's id
+    man = t.manifest(v_after)
+    sid = f"stream_signatures:{ckpt}"
+    assert man["sources"][sid] >= 1
+
+    # simulate a retry of an already-committed batch: same (source, seq)
+    # must be a no-op — no new version, no new rows, no orphan group
+    from simages_spark.functions.signatures import compute_signatures
+    from pyspark.sql import functions as F
+    replay = compute_signatures(
+        spark.createDataFrame([(9, "x y z w v u t")], "doc_id long, text string"),
+        CFG,
+    ).withColumn("batch_id", F.lit(0))
+    n_groups_before = len(os.listdir(os.path.join(root, "data")))
+    assert t.append_exactly_once(replay, source_id=sid, seq=0) is None
+    assert t.current_version() == v_after
+    assert t.read().count() == 3
+    assert len(os.listdir(os.path.join(root, "data"))) == n_groups_before
+
+    # streamed-to-table signatures == batch signatures
+    batch = {
+        r["doc_id"]: tuple(r["minhash"])
+        for r in compute_signatures(
+            spark.read.parquet(inp).select("doc_id", "text"), CFG
+        ).collect()
+    }
+    streamed = {r["doc_id"]: tuple(r["minhash"]) for r in got.collect()}
+    assert streamed == batch
+
+    # history is the ingest audit log: one append per batch
+    assert [m["op"] for m in t.history()] == ["append", "append"]

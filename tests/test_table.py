@@ -359,3 +359,117 @@ def test_expire_snapshots_then_vacuum_reclaims(spark, tmp_path):
     t.append(_df(spark, range(900, 910)))
     assert t.read().count() == len(before) + 10
     assert t.expire_snapshots(keep_last=10)["expired"] == 0  # no-op
+
+
+def test_scan_prunes_groups_driver_side(spark, tmp_path):
+    """scan() must read ONLY the groups whose [min,max] intersects the
+    range — asserted on inputFiles(), which lists exactly the parquet
+    files the plan will open."""
+    t = SnapshotTable(spark, str(tmp_path / "ts1"))
+    t.append(_df(spark, range(0, 10)))        # group A: 0-9
+    t.append(_df(spark, range(100, 110)))     # group B: 100-109
+    t.append(_df(spark, range(200, 210)))     # group C: 200-209
+
+    df = t.scan([("doc_id", 100, 109)])
+    assert {r["doc_id"] for r in df.collect()} == set(range(100, 110))
+    hit_groups = {
+        f.split("/data/")[1].split("/")[0] for f in df.inputFiles()
+    }
+    assert len(hit_groups) == 1  # A and C pruned without being opened
+
+    # unbounded sides
+    assert t.scan([("doc_id", 150, None)]).count() == 10
+    assert t.scan([("doc_id", None, 9)]).count() == 10
+    # equality as a degenerate range
+    assert t.scan([("doc_id", 205, 205)]).count() == 1
+    # multi-column conjunction: text stats exist too (strings)
+    assert t.scan(
+        [("doc_id", 0, 9), ("text", "a3", "a5")]
+    ).count() == 3
+
+
+def test_scan_matches_read_where_and_handles_no_stats(spark, tmp_path):
+    """Exactness: scan == read().where(); groups with no stats for the
+    column are conservatively scanned, and the residual filter keeps the
+    result correct."""
+    t = SnapshotTable(spark, str(tmp_path / "ts2"))
+    t.append(_df(spark, range(0, 50)))
+    t.append(_df(spark, range(25, 75)))  # overlapping ranges
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in t.scan([("doc_id", 20, 30)]).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in t.read().where((F.col("doc_id") >= 20) & (F.col("doc_id") <= 30)).collect()
+    )
+    assert got == want and len(got) == 17  # 20-30 from A, 25-30 from B
+
+    # strip recorded stats to simulate a pre-stats table: scan must not prune
+    import json as _json
+
+    man_path = t._manifest_path(t.current_version())
+    man = _json.load(open(man_path))
+    man["group_stats"] = {}
+    _json.dump(man, open(man_path, "w"))
+    t2 = SnapshotTable(spark, t.root)
+    assert t2.scan([("doc_id", 20, 30)]).count() == 17
+
+    # empty result when every group is pruned
+    t3 = SnapshotTable(spark, str(tmp_path / "ts3"))
+    t3.append(_df(spark, range(5)))
+    empty = t3.scan([("doc_id", 1000, 2000)])
+    assert empty.count() == 0 and empty.schema == t3.read().schema
+
+
+def test_append_exactly_once_dedup_and_carry(spark, tmp_path):
+    """(source, seq) replay is a no-op; the high-water mark is carried
+    forward by UNRELATED commits so detection never needs a history
+    walk; distinct sources don't interfere."""
+    t = SnapshotTable(spark, str(tmp_path / "te1"))
+    assert t.append_exactly_once(_df(spark, [1, 2]), "segA", 0) == 0
+    assert t.append_exactly_once(_df(spark, [1, 2]), "segA", 0) is None  # replay
+    assert t.read().count() == 2
+
+    t.append(_df(spark, [10]))          # plain append between batches
+    t.delete_matching(
+        spark.createDataFrame([(10,)], "doc_id long"), "doc_id"
+    )
+    # mark survived both commits — replay still detected
+    assert t.append_exactly_once(_df(spark, [3]), "segA", 0) is None
+    assert t.append_exactly_once(_df(spark, [3]), "segA", 1) is not None
+    # an independent source has its own sequence
+    assert t.append_exactly_once(_df(spark, [4]), "segB", 0) is not None
+    assert {r["doc_id"] for r in t.read().collect()} == {1, 2, 3, 4}
+    man = t.manifest(t.current_version())
+    assert man["sources"] == {"segA": 1, "segB": 0}
+
+
+def test_append_exactly_once_concurrent_replay_single_commit(spark, tmp_path):
+    """Two workers replaying the SAME batch race through the optimistic
+    loop: exactly one commits, the loser skips and leaves no orphan."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "te2"))
+    t.append_exactly_once(_df(spark, [0]), "seg", 0)
+    results = []
+
+    def worker():
+        tt = SnapshotTable(spark, t.root)
+        results.append(tt.append_exactly_once(_df(spark, range(1, 6)), "seg", 1))
+
+    ths = [threading.Thread(target=worker) for _ in range(4)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    committed = [r for r in results if r is not None]
+    assert len(committed) == 1, results
+    assert t.read().count() == 6
+    # every staged-but-skipped group was cleaned up: groups on disk ==
+    # groups referenced by history
+    referenced = set()
+    for m in t.history():
+        referenced |= set(m["data_groups"])
+    on_disk = set(os.listdir(os.path.join(t.root, "data")))
+    assert on_disk == referenced

@@ -47,6 +47,23 @@ def build_and_delete(spark, root: str, per: int, k: int) -> dict:
     keys = spark.range(lo, lo + 1000).select(F.col("id").alias("doc_id"))
     keys.count()  # materialize the plan outside the timed/counted window
 
+    # read-side stats pruning: scan() must open ONE group's files at any
+    # table size, while the naive read().where() lists+opens all k groups
+    t0 = time.time()
+    scan_df = t.scan([("doc_id", lo, lo + 999)])
+    n_scan = scan_df.count()
+    t_scan = time.time() - t0
+    scan_groups = {f.split("/data/")[1].split("/")[0] for f in scan_df.inputFiles()}
+    t0 = time.time()
+    n_full = (
+        t.read()
+        .where((F.col("doc_id") >= lo) & (F.col("doc_id") <= lo + 999))
+        .count()
+    )
+    t_full = time.time() - t0
+    assert n_scan == n_full == 1000, (n_scan, n_full)
+    assert len(scan_groups) == 1, scan_groups
+
     sc = spark.sparkContext
     group = f"delete-{k}"
     sc.setJobGroup(group, "timed delete")
@@ -71,6 +88,9 @@ def build_and_delete(spark, root: str, per: int, k: int) -> dict:
         "delete_sec": round(t_delete, 2),
         "delete_jobs": jobs,
         "groups_carried_by_reference": carried,
+        "scan_sec": round(t_scan, 2),
+        "scan_groups_opened": len(scan_groups),
+        "full_read_filter_sec": round(t_full, 2),
     }
 
 
@@ -103,6 +123,14 @@ def main() -> None:
             res_hi["delete_sec"] / res_lo["delete_sec"], 2
         ),
         "jobs_equal": res_lo["delete_jobs"] == res_hi["delete_jobs"],
+        "scan_sec_at_groups": {
+            str(lo): res_lo["scan_sec"],
+            str(hi): res_hi["scan_sec"],
+        },
+        "full_read_filter_sec_at_groups": {
+            str(lo): res_lo["full_read_filter_sec"],
+            str(hi): res_hi["full_read_filter_sec"],
+        },
     }), flush=True)
     spark.stop()
 
