@@ -195,6 +195,105 @@ def process_near_dedup_batch(
         new_sig.unpersist()
 
 
+def process_near_dedup_batch_tables(
+    batch_df,
+    batch_id: int,
+    root: str,
+    cfg: DedupConfig,
+    include_within_batch: bool = False,
+) -> None:
+    """Table-backed twin of `process_near_dedup_batch`: the crawl's
+    signature, probe-index, and edge state live in three ACID
+    `SnapshotTable`s under `root/` (`sig_table`, `idx_table`,
+    `edges_table`) — the north rule's "checkpoints per-partition
+    signature and edge state to Iceberg" for the STREAMING loop, with
+    every micro-batch an atomic, audited table version.
+
+    Retry safety (effectively exactly-once): each append is tagged
+    (stream, batch_id) via `append_exactly_once`, so a replayed batch
+    skips whichever of the three commits already landed, and the store
+    reads take only `batch_id < current` — `scan` on the batch_id
+    [min,max] stats, which prune to exactly the prior batches' groups
+    with zero jobs (each group holds one batch, so min=max and the
+    prune is precise). A crash between the three commits replays into
+    the same end state.
+
+    Maintenance inherits the table layer wholesale: `compact()` folds
+    per-batch groups (the dir path's `maintenance.py` job),
+    `expire_snapshots` + `vacuum` reclaim, history is the crawl's audit
+    log, and any past batch boundary is time-travelable."""
+    from simages_spark.operators.incremental import incremental_dedup_edges
+    from simages_spark.operators.sig_index import probe_keys
+    from simages_spark.table import SnapshotTable
+
+    spark = batch_df.sparkSession
+    sid = f"crawl:{root}"
+    sig_t = SnapshotTable(spark, f"{root}/sig_table")
+    idx_t = SnapshotTable(spark, f"{root}/idx_table")
+    edges_t = SnapshotTable(spark, f"{root}/edges_table")
+
+    new_sig = compute_signatures(batch_df.select("doc_id", "text"), cfg).persist()
+    try:
+        prior = [("batch_id", None, batch_id - 1)]
+        if sig_t.current_version() is not None:
+            edges = incremental_dedup_edges(
+                None,
+                sig_t.scan(prior),
+                cfg,
+                new_signatures=new_sig,
+                existing_index=(
+                    idx_t.scan(prior)
+                    if idx_t.current_version() is not None
+                    else None
+                ),
+                include_within_batch=include_within_batch,
+            )
+        elif include_within_batch:
+            edges = _within_first_batch_edges(new_sig, cfg)
+        else:
+            edges = None
+        if edges is not None:
+            edges_t.append_exactly_once(
+                edges.withColumn("batch_id", F.lit(batch_id)), sid, batch_id
+            )
+        sig_t.append_exactly_once(
+            new_sig.withColumn("batch_id", F.lit(batch_id)), sid, batch_id
+        )
+        idx_t.append_exactly_once(
+            probe_keys(new_sig, cfg).withColumn("batch_id", F.lit(batch_id)),
+            sid,
+            batch_id,
+        )
+    finally:
+        new_sig.unpersist()
+
+
+def stream_near_dedup_to_tables(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    cfg: DedupConfig | None = None,
+    schema: str = DOCS_SCHEMA,
+    include_within_batch: bool = False,
+) -> StreamingQuery:
+    """`stream_near_dedup` with all three crawl stores as SnapshotTables
+    (see `process_near_dedup_batch_tables`)."""
+    cfg = cfg or DedupConfig()
+    incoming = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        process_near_dedup_batch_tables(
+            batch_df, batch_id, root, cfg, include_within_batch
+        )
+
+    return (
+        incoming.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _within_first_batch_edges(new_sig, cfg: DedupConfig):
     from simages_spark.operators.incremental import within_batch_edges
 

@@ -292,3 +292,72 @@ def test_stream_signatures_to_table_exactly_once(spark, tmp_path):
 
     # history is the ingest audit log: one append per batch
     assert [m["op"] for m in t.history()] == ["append", "append"]
+
+
+def test_stream_near_dedup_to_tables(spark, tmp_path):
+    """The fully table-backed crawl loop: same edges as the dir-backed
+    stream on the same batches; state lands as atomic audited table
+    versions; a batch replay is a no-op on all three tables."""
+    from simages_spark.streaming import (
+        process_near_dedup_batch_tables,
+        stream_near_dedup_to_tables,
+    )
+    from simages_spark.table import SnapshotTable
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "crawl")
+    os.makedirs(inp, exist_ok=True)
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = " ".join(("CHANGED" if i == 20 else f"word{i}") for i in range(40))
+
+    _write_batch(spark, inp, [(1, base, "en", "s", 0),
+                              (2, "some other unrelated page", "en", "s", 0)])
+    stream_near_dedup_to_tables(spark, inp, root, CFG).awaitTermination()
+    sig_t = SnapshotTable(spark, f"{root}/sig_table")
+    edges_t = SnapshotTable(spark, f"{root}/edges_table")
+    assert sig_t.read().count() == 2
+    assert edges_t.current_version() is None  # no prior corpus → no edges yet
+
+    _write_batch(spark, inp, [(10, base, "en", "s", 0),
+                              (11, near, "en", "s", 0),
+                              (12, "completely new content here", "en", "s", 0)])
+    stream_near_dedup_to_tables(spark, inp, root, CFG).awaitTermination()
+    edges = {(r["src"], r["dst"]): round(r["jaccard"], 6)
+             for r in edges_t.read().collect()}
+    assert edges[(10, 1)] == 1.0
+    assert 0.7 < edges[(11, 1)] < 0.8
+    assert set(edges) == {(10, 1), (11, 1)}  # same as the dir-backed stream
+    assert sig_t.read().count() == 5
+
+    _write_batch(spark, inp, [(20, "completely new content here", "en", "s", 0)])
+    stream_near_dedup_to_tables(spark, inp, root, CFG).awaitTermination()
+    assert (20, 12) in {(r["src"], r["dst"]) for r in edges_t.read().collect()}
+
+    # replay of an already-committed batch: no new versions anywhere
+    vs = [
+        SnapshotTable(spark, f"{root}/{n}").current_version()
+        for n in ("sig_table", "idx_table", "edges_table")
+    ]
+    replay = spark.createDataFrame(
+        [(10, base, "en", "s", 0)], _write_schema()
+    )
+    process_near_dedup_batch_tables(replay, 1, root, CFG)
+    assert [
+        SnapshotTable(spark, f"{root}/{n}").current_version()
+        for n in ("sig_table", "idx_table", "edges_table")
+    ] == vs
+
+    # every batch is an audited version: history ops are all appends,
+    # manifests carry the crawl stream's watermark
+    assert [m["op"] for m in sig_t.history()] == ["append"] * 3
+    assert sig_t.manifest(sig_t.current_version())["sources"][f"crawl:{root}"] == 2
+
+    # compaction folds per-batch groups without changing rows
+    before = {(r["doc_id"], r["batch_id"]) for r in sig_t.read().collect()}
+    sig_t.compact(target_rows=1000)
+    assert {(r["doc_id"], r["batch_id"]) for r in sig_t.read().collect()} == before
+
+
+def _write_schema():
+    return "doc_id long, text string, lang string, source string, n_chars long"
