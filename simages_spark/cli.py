@@ -20,6 +20,8 @@ identically to a from-scratch run on the union.
 `compact --stream-root <dir>` is the offline maintenance action for
 long-running crawls: folds the streaming stores' per-batch partitions
 into one compacted generation (simages_spark/maintenance.py).
+`compact --crawl-tables <root>` is its twin for the TABLE-backed crawl
+stores (stream_near_dedup_to_tables): SnapshotTable.compact() on each.
 
 `--checkpoint-backend table` checkpoints every stage as a version of an
 ACID SnapshotTable instead of a directory swap: single-hardlink atomic
@@ -73,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
                          "all batch_id partitions of each into one "
                          "compacted generation. Run between streaming "
                          "runs (availableNow slots), never mid-batch.")
+    ap.add_argument("--crawl-tables", default=None,
+                    help="compact: root of a TABLE-backed crawl store "
+                         "(sig_table/ idx_table/ edges_table/ as written "
+                         "by stream_near_dedup_to_tables); runs "
+                         "SnapshotTable.compact() on each — bin-packs "
+                         "per-batch groups into ~--target-rows groups, "
+                         "history stays time-travelable")
+    ap.add_argument("--target-rows", type=int, default=50_000_000,
+                    help="--crawl-tables: rows per packed group")
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--topk", type=int, default=10)
@@ -102,28 +113,38 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.command == "compact":
-        if not args.stream_root:
-            ap.error("compact requires --stream-root")
+        if not (args.stream_root or args.crawl_tables):
+            ap.error("compact requires --stream-root or --crawl-tables")
     elif not (args.input and args.workdir):
         ap.error(f"{args.command} requires --input and --workdir")
 
     spark = get_spark(f"simages_{args.command}", cores=args.cores)
 
     if args.command == "compact":
-        from simages_spark.maintenance import (
-            compact_edges_store,
-            compact_probe_index,
-            compact_signature_store,
-        )
-        from simages_spark.streaming import _hadoop_path_exists
-
         out = {}
-        for name, fn in (("sig", compact_signature_store),
-                         ("idx", compact_probe_index),
-                         ("edges", compact_edges_store)):
-            path = f"{args.stream_root.rstrip('/')}/{name}"
-            if _hadoop_path_exists(spark, path):
-                out[name] = fn(spark, path)
+        if args.stream_root:
+            from simages_spark.maintenance import (
+                compact_edges_store,
+                compact_probe_index,
+                compact_signature_store,
+            )
+            from simages_spark.streaming import _hadoop_path_exists
+
+            for name, fn in (("sig", compact_signature_store),
+                             ("idx", compact_probe_index),
+                             ("edges", compact_edges_store)):
+                path = f"{args.stream_root.rstrip('/')}/{name}"
+                if _hadoop_path_exists(spark, path):
+                    out[name] = fn(spark, path)
+        if args.crawl_tables:
+            from simages_spark.table import SnapshotTable
+
+            for name in ("sig_table", "idx_table", "edges_table"):
+                t = SnapshotTable(
+                    spark, f"{args.crawl_tables.rstrip('/')}/{name}"
+                )
+                if t.current_version() is not None:
+                    out[name] = t.compact(target_rows=args.target_rows)
         print(json.dumps(out))
         spark.stop()
         return 0
