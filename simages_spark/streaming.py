@@ -51,6 +51,42 @@ def stream_signatures(
     )
 
 
+def _streaming_incarnation_id(
+    spark: SparkSession, checkpoint_dir: str, fallback: str
+) -> str:
+    """The streaming query id from `<checkpoint_dir>/metadata` (written
+    by Structured Streaming at query start, before any batch runs) —
+    unique per checkpoint INCARNATION. The exactly-once watermark must
+    key on this, not the checkpoint path: a wiped-and-rebuilt checkpoint
+    restarts batch ids at 0, and a path-keyed watermark would silently
+    SKIP every restarted batch (data loss); keyed on the incarnation id,
+    a rebuild re-appends its re-processed input instead — the duplicate
+    delivery a checkpoint wipe genuinely implies, and the benign failure
+    mode for a signature store. Read through the Hadoop FS API so any
+    Spark-visible filesystem works; falls back for direct
+    batch-processor calls with no streaming checkpoint."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/metadata")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return fallback
+        stream = fs.open(jpath)
+        try:
+            raw = bytearray()
+            b = stream.read()
+            while b != -1 and len(raw) < 4096:
+                raw.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        import json
+
+        return str(json.loads(raw.decode("utf-8"))["id"])
+    except Exception:
+        return fallback
+
+
 def stream_signatures_to_table(
     spark: SparkSession,
     input_dir: str,
@@ -77,18 +113,22 @@ def stream_signatures_to_table(
     from simages_spark.table import SnapshotTable
 
     cfg = cfg or DedupConfig()
-    # stream id ties watermarks to THIS query's checkpoint: a fresh
-    # checkpoint restarts batch ids at 0, which must not collide with
-    # another query's (or a rebuilt checkpoint's) sequence
-    stream_id = f"stream_signatures:{checkpoint_dir}"
     incoming = spark.readStream.schema(schema).parquet(input_dir)
+    state: dict[str, str] = {}
 
     def process(batch_df, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        if "sid" not in state:
+            # resolved at first batch (the metadata file exists by then):
+            # watermarks key on the checkpoint INCARNATION, not its path
+            state["sid"] = "stream_signatures:" + _streaming_incarnation_id(
+                ss, checkpoint_dir, checkpoint_dir
+            )
         sigs = compute_signatures(batch_df.select("doc_id", "text"), cfg).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        SnapshotTable(batch_df.sparkSession, table_root).append_exactly_once(
-            sigs, source_id=stream_id, seq=batch_id
+        SnapshotTable(ss, table_root).append_exactly_once(
+            sigs, source_id=state["sid"], seq=batch_id
         )
 
     return (
@@ -201,6 +241,7 @@ def process_near_dedup_batch_tables(
     root: str,
     cfg: DedupConfig,
     include_within_batch: bool = False,
+    source_id: str | None = None,
 ) -> None:
     """Table-backed twin of `process_near_dedup_batch`: the crawl's
     signature, probe-index, and edge state live in three ACID
@@ -227,7 +268,10 @@ def process_near_dedup_batch_tables(
     from simages_spark.table import SnapshotTable
 
     spark = batch_df.sparkSession
-    sid = f"crawl:{root}"
+    # the streaming wrapper passes the checkpoint-incarnation id (see
+    # _streaming_incarnation_id); the root-path default serves direct
+    # batch-sequenced callers (tests, soaks) with no streaming checkpoint
+    sid = source_id or f"crawl:{root}"
     sig_t = SnapshotTable(spark, f"{root}/sig_table")
     idx_t = SnapshotTable(spark, f"{root}/idx_table")
     edges_t = SnapshotTable(spark, f"{root}/edges_table")
@@ -280,10 +324,16 @@ def stream_near_dedup_to_tables(
     (see `process_near_dedup_batch_tables`)."""
     cfg = cfg or DedupConfig()
     incoming = spark.readStream.schema(schema).parquet(input_dir)
+    state: dict[str, str] = {}
 
     def process(batch_df, batch_id: int) -> None:
+        if "sid" not in state:
+            state["sid"] = "crawl:" + _streaming_incarnation_id(
+                batch_df.sparkSession, f"{root}/ckpt", root
+            )
         process_near_dedup_batch_tables(
-            batch_df, batch_id, root, cfg, include_within_batch
+            batch_df, batch_id, root, cfg, include_within_batch,
+            source_id=state["sid"],
         )
 
     return (

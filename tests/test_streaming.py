@@ -261,10 +261,14 @@ def test_stream_signatures_to_table_exactly_once(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 3}
     v_after = t.current_version()
 
-    # watermarks recorded under this stream's id
+    # watermarks recorded under this stream's INCARNATION id (the query
+    # id from <ckpt>/metadata, not the path — a rebuilt checkpoint must
+    # get a fresh sequence)
     man = t.manifest(v_after)
-    sid = f"stream_signatures:{ckpt}"
-    assert man["sources"][sid] >= 1
+    sids = [s for s in man["sources"] if s.startswith("stream_signatures:")]
+    assert len(sids) == 1 and man["sources"][sids[0]] >= 1
+    sid = sids[0]
+    assert sid != f"stream_signatures:{ckpt}"  # metadata id resolved
 
     # simulate a retry of an already-committed batch: same (source, seq)
     # must be a no-op — no new version, no new rows, no orphan group
@@ -334,7 +338,17 @@ def test_stream_near_dedup_to_tables(spark, tmp_path):
     stream_near_dedup_to_tables(spark, inp, root, CFG).awaitTermination()
     assert (20, 12) in {(r["src"], r["dst"]) for r in edges_t.read().collect()}
 
-    # replay of an already-committed batch: no new versions anywhere
+    # the stream's watermark keys on the checkpoint incarnation (query
+    # id from <root>/ckpt/metadata), shared by all three availableNow
+    # restarts above — ONE source at seq 2
+    man = sig_t.manifest(sig_t.current_version())
+    crawl_sids = [s for s in man["sources"] if s.startswith("crawl:")]
+    assert len(crawl_sids) == 1 and man["sources"][crawl_sids[0]] == 2
+    sid = crawl_sids[0]
+    assert sid != f"crawl:{root}"  # incarnation id, not the path
+
+    # replay of an already-committed batch (same incarnation, same seq):
+    # no new versions anywhere
     vs = [
         SnapshotTable(spark, f"{root}/{n}").current_version()
         for n in ("sig_table", "idx_table", "edges_table")
@@ -342,16 +356,14 @@ def test_stream_near_dedup_to_tables(spark, tmp_path):
     replay = spark.createDataFrame(
         [(10, base, "en", "s", 0)], _write_schema()
     )
-    process_near_dedup_batch_tables(replay, 1, root, CFG)
+    process_near_dedup_batch_tables(replay, 1, root, CFG, source_id=sid)
     assert [
         SnapshotTable(spark, f"{root}/{n}").current_version()
         for n in ("sig_table", "idx_table", "edges_table")
     ] == vs
 
-    # every batch is an audited version: history ops are all appends,
-    # manifests carry the crawl stream's watermark
+    # every batch is an audited version: history ops are all appends
     assert [m["op"] for m in sig_t.history()] == ["append"] * 3
-    assert sig_t.manifest(sig_t.current_version())["sources"][f"crawl:{root}"] == 2
 
     # compaction folds per-batch groups without changing rows
     before = {(r["doc_id"], r["batch_id"]) for r in sig_t.read().collect()}
@@ -361,3 +373,35 @@ def test_stream_near_dedup_to_tables(spark, tmp_path):
 
 def _write_schema():
     return "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_stream_to_table_checkpoint_rebuild_not_skipped(spark, tmp_path):
+    """A wiped-and-rebuilt checkpoint restarts batch ids at 0; because
+    watermarks key on the checkpoint INCARNATION (query id), the rebuilt
+    stream's re-processed input is re-appended (duplicate delivery — the
+    honest consequence of losing the file-source log) instead of being
+    silently skipped as a stale batch 0 (data loss)."""
+    import shutil as _sh
+
+    from simages_spark.streaming import stream_signatures_to_table
+    from simages_spark.table import SnapshotTable
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "sig_table")
+    ckpt = str(tmp_path / "ckpt_r")
+    os.makedirs(inp, exist_ok=True)
+    _write_batch(spark, inp, [(1, "a b c d e f g", "en", "s", 13)])
+    stream_signatures_to_table(spark, inp, root, ckpt, CFG).awaitTermination()
+    t = SnapshotTable(spark, root)
+    assert t.read().count() == 1
+
+    _sh.rmtree(ckpt)  # checkpoint lost; table survives
+    stream_signatures_to_table(spark, inp, root, ckpt, CFG).awaitTermination()
+    # batch 0 of the NEW incarnation re-processed the file and appended
+    assert t.read().count() == 2
+    man = t.manifest(t.current_version())
+    incarnations = [
+        s for s in man["sources"] if s.startswith("stream_signatures:")
+    ]
+    assert len(incarnations) == 2  # two distinct query ids, both at seq 0
+    assert all(man["sources"][s] == 0 for s in incarnations)
