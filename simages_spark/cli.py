@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
                          "history stays time-travelable")
     ap.add_argument("--target-rows", type=int, default=50_000_000,
                     help="--crawl-tables: rows per packed group")
+    ap.add_argument("--sort-by", default=None,
+                    help="--crawl-tables: range-cluster each table's "
+                         "packs on this column where it exists (e.g. "
+                         "pkey clusters the probe index; doc_id the "
+                         "signature store) — restores scan stats-pruning "
+                         "after arbitrary-order appends")
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--topk", type=int, default=10)
@@ -144,7 +150,15 @@ def main(argv: list[str] | None = None) -> int:
                     spark, f"{args.crawl_tables.rstrip('/')}/{name}"
                 )
                 if t.current_version() is not None:
-                    out[name] = t.compact(target_rows=args.target_rows)
+                    schema = t.manifest(t.current_version())["schema"]
+                    sb = (
+                        [args.sort_by]
+                        if args.sort_by and f"{args.sort_by}:" in schema
+                        else None
+                    )
+                    out[name] = t.compact(
+                        target_rows=args.target_rows, sort_by=sb
+                    )
         print(json.dumps(out))
         spark.stop()
         return 0

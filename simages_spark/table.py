@@ -588,13 +588,27 @@ class SnapshotTable:
 
     # ---------- maintenance ----------
 
-    def compact(self, target_rows: int = 1_000_000, max_attempts: int = 3) -> dict:
+    def compact(
+        self,
+        target_rows: int = 1_000_000,
+        max_attempts: int = 3,
+        sort_by: list[str] | None = None,
+    ) -> dict:
         """Bin-pack small data groups into ~`target_rows` groups (the
         Iceberg `rewrite_data_files` analog). Streaming/incremental ingest
         commits one group per append, so after 10⁴ appends every read
         lists 10⁴ parquet directories and every stats-prune walks 10⁴
         manifest entries; compaction folds them without changing the
         table's rows at any version.
+
+        With `sort_by`, the fold is a RANGE-CLUSTERING rewrite (Iceberg's
+        sort-order rewrite): all small groups are read together,
+        range-partitioned + sorted on the given columns, and re-staged as
+        packs with DISJOINT [min,max] ranges — without it, bin-packing in
+        arrival order leaves every pack spanning the full key range, and
+        `scan`'s stats pruning degrades to reading everything. One sorted
+        pass restores point-read pruning on a table built by thousands of
+        arbitrary-order appends.
 
         Safety against concurrent writers: the packed groups are staged
         first, then the commit VALIDATES that every source group is still
@@ -623,34 +637,46 @@ class SnapshotTable:
                 (g for g in man["data_groups"] if group_rows(g) < target_rows),
                 key=group_rows,
             )
-            bins: list[list[str]] = []
-            cur: list[str] = []
-            cur_rows = 0
-            for g in small:
-                r = group_rows(g)
-                if cur and cur_rows + r > target_rows:
-                    bins.append(cur)
-                    cur, cur_rows = [], 0
-                cur.append(g)
-                cur_rows += r
-            if cur:
-                bins.append(cur)
-            bins = [b for b in bins if len(b) >= 2]
-            if not bins:
-                return {
-                    "compacted": False,
-                    "reason": "nothing to fold",
-                    "n_groups": len(man["data_groups"]),
-                }
-
-            staged = []  # (new_gid, new_stats, source_bin)
-            for b in bins:
-                packed = self.spark.read.parquet(
-                    *[self._group_path(g) for g in b]
+            if sort_by:
+                if len(small) < 2:
+                    return {
+                        "compacted": False,
+                        "reason": "nothing to fold",
+                        "n_groups": len(man["data_groups"]),
+                    }
+                staged = self._stage_sorted_packs(
+                    small, sum(group_rows(g) for g in small), target_rows, sort_by
                 )
-                gid, gstats = self._stage_group_with_stats(packed)
-                staged.append((gid, gstats, b))
-            sources = {g for _, _, b in staged for g in b}
+                sources = set(small)
+            else:
+                bins: list[list[str]] = []
+                cur: list[str] = []
+                cur_rows = 0
+                for g in small:
+                    r = group_rows(g)
+                    if cur and cur_rows + r > target_rows:
+                        bins.append(cur)
+                        cur, cur_rows = [], 0
+                    cur.append(g)
+                    cur_rows += r
+                if cur:
+                    bins.append(cur)
+                bins = [b for b in bins if len(b) >= 2]
+                if not bins:
+                    return {
+                        "compacted": False,
+                        "reason": "nothing to fold",
+                        "n_groups": len(man["data_groups"]),
+                    }
+
+                staged = []  # (new_gid, new_stats, source_bin)
+                for b in bins:
+                    packed = self.spark.read.parquet(
+                        *[self._group_path(g) for g in b]
+                    )
+                    gid, gstats = self._stage_group_with_stats(packed)
+                    staged.append((gid, gstats, b))
+                sources = {g for _, _, b in staged for g in b}
 
             class _SourcesChanged(Exception):
                 pass
@@ -669,17 +695,56 @@ class SnapshotTable:
 
             try:
                 v = self._commit_with_retry(mutate, "compact")
-                return {
+                out = {
                     "compacted": True,
                     "version": v,
                     "folded_groups": len(sources),
                     "new_groups": len(staged),
                     "n_groups": len(self.manifest(v)["data_groups"]),
                 }
+                if sort_by:
+                    out["sorted_by"] = list(sort_by)
+                return out
             except _SourcesChanged:
                 last_reason = "a source group was rewritten concurrently"
                 continue  # re-plan against the new snapshot
         return {"compacted": False, "reason": last_reason}
+
+    def _stage_sorted_packs(
+        self, small: list[str], total: int, target_rows: int, sort_by: list[str]
+    ) -> list[tuple[str, dict, None]]:
+        """One Spark job: union-read the source groups, range-partition +
+        sort on `sort_by`, land one file per range, then promote each
+        file to its own data group (rename, no copy) — packs end up with
+        DISJOINT sort-key ranges in the manifest stats. Staged outside
+        `data/` so an unpublished rewrite is swept here, not left for
+        vacuum's grace heuristics."""
+        n_packs = max(1, -(-total // target_rows))
+        tmp = os.path.join(self.root, f"sortpack.tmp-{uuid.uuid4().hex}")
+        staged: list[tuple[str, dict, None]] = []
+        try:
+            (
+                self.spark.read.parquet(*[self._group_path(g) for g in small])
+                .repartitionByRange(n_packs, *[F.col(c) for c in sort_by])
+                .sortWithinPartitions(*sort_by)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for fname in sorted(os.listdir(tmp)):
+                if not fname.endswith(".parquet"):
+                    continue
+                gid = uuid.uuid4().hex
+                gdir = self._group_path(gid)
+                os.makedirs(gdir)
+                os.rename(os.path.join(tmp, fname), os.path.join(gdir, fname))
+                gstats = self._collect_group_stats(gid)
+                if gstats["rows"] == 0:
+                    shutil.rmtree(gdir, ignore_errors=True)  # empty range
+                    continue
+                staged.append((gid, gstats, None))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return staged
 
     def expire_snapshots(self, keep_last: int = 10) -> dict:
         """Retention: drop all but the newest `keep_last` version

@@ -473,3 +473,43 @@ def test_append_exactly_once_concurrent_replay_single_commit(spark, tmp_path):
         referenced |= set(m["data_groups"])
     on_disk = set(os.listdir(os.path.join(t.root, "data")))
     assert on_disk == referenced
+
+
+def test_compact_sort_by_restores_scan_pruning(spark, tmp_path):
+    """Arrival-order appends interleave key ranges, so every bin-packed
+    group spans the whole keyspace and scan pruning degrades; a
+    sort_by rewrite re-clusters into DISJOINT ranges and a point scan
+    opens exactly one group again. Rows identical throughout."""
+    t = SnapshotTable(spark, str(tmp_path / "tc1"))
+    # 6 appends, round-robin keys: every group spans ~the full range
+    for b in range(6):
+        t.append(_df(spark, range(b, 600, 6)))
+    before = {(r["doc_id"], r["text"]) for r in t.read().collect()}
+
+    # without sorting, a narrow scan cannot prune interleaved groups
+    assert len(t.scan([("doc_id", 100, 109)]).inputFiles()) >= 6
+
+    out = t.compact(target_rows=150, sort_by=["doc_id"])
+    assert out["compacted"] and out["sorted_by"] == ["doc_id"]
+    assert out["folded_groups"] == 6
+
+    man = t.manifest(t.current_version())
+    ranges = sorted(
+        tuple(man["group_stats"][g]["columns"]["doc_id"])
+        for g in man["data_groups"]
+    )
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint, ordered ranges
+
+    # rows unchanged at the new version; point scan opens ONE group
+    assert {(r["doc_id"], r["text"]) for r in t.read().collect()} == before
+    df = t.scan([("doc_id", 100, 109)])
+    assert {r["doc_id"] for r in df.collect()} == set(range(100, 110))
+    assert len({f.split("/data/")[1].split("/")[0] for f in df.inputFiles()}) == 1
+
+    # time travel: the pre-compaction version still reads identically
+    assert {
+        (r["doc_id"], r["text"])
+        for r in t.read(version=t.current_version() - 1).collect()
+    } == before
