@@ -90,6 +90,16 @@ def main(argv: list[str] | None = None) -> int:
                          "pkey clusters the probe index; doc_id the "
                          "signature store) — restores scan stats-pruning "
                          "after arbitrary-order appends")
+    ap.add_argument("--expire-keep", type=int, default=None,
+                    help="--crawl-tables: after compacting, expire all "
+                         "but the last N snapshots of each table "
+                         "(retention — folded-away groups stay pinned "
+                         "by history until expired)")
+    ap.add_argument("--vacuum-min-age", type=float, default=None,
+                    help="--crawl-tables: after expiring, reclaim "
+                         "unreferenced data groups older than this many "
+                         "seconds (pass with --expire-keep for the full "
+                         "maintenance loop: fold → expire → reclaim)")
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--topk", type=int, default=10)
@@ -159,6 +169,14 @@ def main(argv: list[str] | None = None) -> int:
                     out[name] = t.compact(
                         target_rows=args.target_rows, sort_by=sb
                     )
+                    if args.expire_keep is not None:
+                        out[name]["expired"] = t.expire_snapshots(
+                            keep_last=args.expire_keep
+                        )["expired"]
+                    if args.vacuum_min_age is not None:
+                        out[name]["vacuumed"] = t.vacuum(
+                            min_age_s=args.vacuum_min_age
+                        )
         print(json.dumps(out))
         spark.stop()
         return 0
