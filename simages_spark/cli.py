@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from pyspark.sql import functions as F
@@ -58,6 +59,25 @@ def _load_docs(spark, path: str):
     if "doc_id" not in df.columns:
         df = mint_doc_ids(df, "url")
     return df
+
+
+def _schema_columns(schema: str) -> list[str]:
+    """Top-level field names of a simpleString schema
+    ('struct<a:bigint,b:array<struct<c:int>>>' → ['a', 'b']) — a
+    depth-aware split, NOT a substring test: 'id' must not match
+    'batch_id:', and nested field names must not count."""
+    inner = schema.removeprefix("struct<").removesuffix(">")
+    cols, depth, start = [], 0, 0
+    for i, ch in enumerate(inner + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = inner[start:i]
+            cols.append(field.split(":", 1)[0].strip())
+            start = i + 1
+    return [c for c in cols if c]
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -131,6 +151,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "compact":
         if not (args.stream_root or args.crawl_tables):
             ap.error("compact requires --stream-root or --crawl-tables")
+        if args.crawl_tables and not any(
+            os.path.isdir(os.path.join(args.crawl_tables.rstrip("/"), n))
+            for n in ("sig_table", "idx_table", "edges_table")
+        ):
+            ap.error(
+                f"--crawl-tables {args.crawl_tables!r} contains no crawl "
+                "tables (expected sig_table/ idx_table/ edges_table/)"
+            )
     elif not (args.input and args.workdir):
         ap.error(f"{args.command} requires --input and --workdir")
 
@@ -155,15 +183,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.crawl_tables:
             from simages_spark.table import SnapshotTable
 
+            croot = args.crawl_tables.rstrip("/")
             for name in ("sig_table", "idx_table", "edges_table"):
-                t = SnapshotTable(
-                    spark, f"{args.crawl_tables.rstrip('/')}/{name}"
-                )
+                # only open tables that exist: SnapshotTable.__init__
+                # mkdirs its layout, and a typo'd --crawl-tables root
+                # must error, not fabricate empty skeletons and "succeed"
+                if not os.path.isdir(os.path.join(croot, name)):
+                    continue
+                t = SnapshotTable(spark, os.path.join(croot, name))
                 if t.current_version() is not None:
-                    schema = t.manifest(t.current_version())["schema"]
+                    cols = _schema_columns(
+                        t.manifest(t.current_version())["schema"]
+                    )
                     sb = (
                         [args.sort_by]
-                        if args.sort_by and f"{args.sort_by}:" in schema
+                        if args.sort_by and args.sort_by in cols
                         else None
                     )
                     out[name] = t.compact(

@@ -65,26 +65,23 @@ def _streaming_incarnation_id(
     mode for a signature store. Read through the Hadoop FS API so any
     Spark-visible filesystem works; falls back for direct
     batch-processor calls with no streaming checkpoint."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/metadata")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return fallback  # no streaming checkpoint (direct batch caller)
+    # metadata EXISTS: a read/parse failure must FAIL the batch, not fall
+    # back — a path-keyed watermark silently re-enables the
+    # skip-on-rebuild data loss this id exists to prevent. One bulk read
+    # (commons-io ships with Hadoop), not a byte-per-py4j-call loop.
+    stream = fs.open(jpath)
     try:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/metadata")
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return fallback
-        stream = fs.open(jpath)
-        try:
-            raw = bytearray()
-            b = stream.read()
-            while b != -1 and len(raw) < 4096:
-                raw.append(b)
-                b = stream.read()
-        finally:
-            stream.close()
-        import json
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    import json
 
-        return str(json.loads(raw.decode("utf-8"))["id"])
-    except Exception:
-        return fallback
+    return str(json.loads(raw)["id"])
 
 
 def stream_signatures_to_table(
@@ -235,6 +232,23 @@ def process_near_dedup_batch(
         new_sig.unpersist()
 
 
+def _table_has_batches_below(table, batch_id: int) -> bool:
+    """Does the table hold any rows with batch_id < `batch_id`? Answered
+    from the manifest's per-group batch_id [min,max] stats — zero Spark
+    jobs. Groups without stats for the column count as 'yes'
+    (conservative: the probe then runs and finds whatever is there)."""
+    v = table.current_version()
+    if v is None:
+        return False
+    man = table.manifest(v)
+    stats = man.get("group_stats") or {}
+    for g in man["data_groups"]:
+        rng = ((stats.get(g) or {}).get("columns") or {}).get("batch_id")
+        if rng is None or rng[0] < batch_id:
+            return True
+    return False
+
+
 def process_near_dedup_batch_tables(
     batch_df,
     batch_id: int,
@@ -279,7 +293,12 @@ def process_near_dedup_batch_tables(
     new_sig = compute_signatures(batch_df.select("doc_id", "text"), cfg).persist()
     try:
         prior = [("batch_id", None, batch_id - 1)]
-        if sig_t.current_version() is not None:
+        # "has prior batches" from manifest batch_id stats, zero jobs —
+        # NOT just table existence: a replay of the FIRST batch finds its
+        # own commit in sig_table and must still take the first-batch
+        # branch, or it would probe an empty store and publish a spurious
+        # empty edges version the original execution never created
+        if _table_has_batches_below(sig_t, batch_id):
             edges = incremental_dedup_edges(
                 None,
                 sig_t.scan(prior),

@@ -84,6 +84,7 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._man_cache: dict[int, dict] = {}
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     # ---------- snapshot discovery ----------
@@ -106,8 +107,19 @@ class SnapshotTable:
         return vs[-1] if vs else None
 
     def manifest(self, version: int) -> dict:
+        """Manifests are immutable once published (the os.link commit
+        point), so they are cached per instance — _try_commit re-reads
+        the base to carry `sources` on every commit, and on a large
+        table the JSON parse is the driver-side cost worth skipping."""
+        cached = self._man_cache.get(version)
+        if cached is not None:
+            return cached
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            man = json.load(f)
+        if len(self._man_cache) > 16:
+            self._man_cache.clear()
+        self._man_cache[version] = man
+        return man
 
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
@@ -638,14 +650,23 @@ class SnapshotTable:
                 key=group_rows,
             )
             if sort_by:
-                if len(small) < 2:
+                total = sum(group_rows(g) for g in small)
+                n_packs = max(1, -(-total // target_rows))
+                # idempotence: a prior sorted rewrite leaves packs with
+                # pairwise-disjoint ranges at (or below) the target pack
+                # count — re-running then is a full-table rewrite for
+                # nothing (hourly maintenance crons must converge)
+                if len(small) < 2 or (
+                    len(small) <= n_packs
+                    and self._ranges_disjoint(stats, small, sort_by[0])
+                ):
                     return {
                         "compacted": False,
                         "reason": "nothing to fold",
                         "n_groups": len(man["data_groups"]),
                     }
                 staged = self._stage_sorted_packs(
-                    small, sum(group_rows(g) for g in small), target_rows, sort_by
+                    small, total, target_rows, sort_by
                 )
                 sources = set(small)
             else:
@@ -706,9 +727,28 @@ class SnapshotTable:
                     out["sorted_by"] = list(sort_by)
                 return out
             except _SourcesChanged:
+                # the staged packs reference data the rebased snapshot no
+                # longer has — remove them NOW rather than leaving
+                # full-size orphans for vacuum's grace window
+                for gid, _, _ in staged:
+                    shutil.rmtree(self._group_path(gid), ignore_errors=True)
                 last_reason = "a source group was rewritten concurrently"
                 continue  # re-plan against the new snapshot
         return {"compacted": False, "reason": last_reason}
+
+    @staticmethod
+    def _ranges_disjoint(stats: dict, groups: list[str], col: str) -> bool:
+        """Are the groups' [min,max] ranges for `col` pairwise disjoint?
+        Groups without stats for the column count as overlapping
+        (conservative: the rewrite runs)."""
+        ranges = []
+        for g in groups:
+            rng = ((stats.get(g) or {}).get("columns") or {}).get(col)
+            if rng is None:
+                return False
+            ranges.append(tuple(rng))
+        ranges.sort()
+        return all(hi < lo2 for (_, hi), (lo2, _) in zip(ranges, ranges[1:]))
 
     def _stage_sorted_packs(
         self, small: list[str], total: int, target_rows: int, sort_by: list[str]
@@ -716,9 +756,11 @@ class SnapshotTable:
         """One Spark job: union-read the source groups, range-partition +
         sort on `sort_by`, land one file per range, then promote each
         file to its own data group (rename, no copy) — packs end up with
-        DISJOINT sort-key ranges in the manifest stats. Staged outside
-        `data/` so an unpublished rewrite is swept here, not left for
-        vacuum's grace heuristics."""
+        DISJOINT sort-key ranges in the manifest stats. The shuffle
+        output is staged outside `data/` (swept here on failure); the
+        promoted packs sit in `data/` until the commit publishes them —
+        a conflicted commit removes them immediately (see compact), a
+        crash leaves them to vacuum like any other unpublished group."""
         n_packs = max(1, -(-total // target_rows))
         tmp = os.path.join(self.root, f"sortpack.tmp-{uuid.uuid4().hex}")
         staged: list[tuple[str, dict, None]] = []

@@ -184,3 +184,28 @@ def test_table_checkpoint_backend(spark, docs_sf0001, tmp_path):
         fingerprint=fp,
     )
     assert dsig.exceptAll(store.read("signatures", version=0)).count() == 0
+
+
+def test_schema_columns_parser():
+    """Depth-aware top-level field extraction — 'id' must not match
+    'batch_id', nested names must not count."""
+    from simages_spark.cli import _schema_columns
+
+    s = "struct<doc_id:bigint,batch_id:int,m:array<struct<id:int,pos:int>>,text:string>"
+    cols = _schema_columns(s)
+    assert cols == ["doc_id", "batch_id", "m", "text"]
+    assert "id" not in cols and "pos" not in cols
+    assert _schema_columns("struct<a:bigint>") == ["a"]
+
+
+def test_cli_compact_crawl_tables_missing_root_errors(tmp_path):
+    """A typo'd --crawl-tables root must error up front, not fabricate
+    empty table skeletons and report success."""
+    import pytest
+
+    from simages_spark import cli
+
+    bogus = str(tmp_path / "nope")
+    with pytest.raises(SystemExit):
+        cli.main(["compact", "--crawl-tables", bogus])
+    assert not (tmp_path / "nope").exists()  # nothing fabricated

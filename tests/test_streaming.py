@@ -323,6 +323,23 @@ def test_stream_near_dedup_to_tables(spark, tmp_path):
     assert sig_t.read().count() == 2
     assert edges_t.current_version() is None  # no prior corpus → no edges yet
 
+    # replaying the FIRST batch (crash after its commits, before the
+    # stream checkpoint advanced) must take the first-batch branch — its
+    # own committed signatures are not "prior corpus", and no spurious
+    # empty edges version may appear
+    sid0 = [
+        s
+        for s in sig_t.manifest(sig_t.current_version())["sources"]
+        if s.startswith("crawl:")
+    ][0]
+    replay0 = spark.createDataFrame(
+        [(1, base, "en", "s", 0), (2, "some other unrelated page", "en", "s", 0)],
+        _write_schema(),
+    )
+    process_near_dedup_batch_tables(replay0, 0, root, CFG, source_id=sid0)
+    assert edges_t.current_version() is None
+    assert sig_t.read().count() == 2  # sig/idx replays skipped too
+
     _write_batch(spark, inp, [(10, base, "en", "s", 0),
                               (11, near, "en", "s", 0),
                               (12, "completely new content here", "en", "s", 0)])

@@ -513,3 +513,8 @@ def test_compact_sort_by_restores_scan_pruning(spark, tmp_path):
         (r["doc_id"], r["text"])
         for r in t.read(version=t.current_version() - 1).collect()
     } == before
+
+    # idempotent: the packs are already disjoint at the target count —
+    # an hourly maintenance rerun must converge, not rewrite the table
+    again = t.compact(target_rows=150, sort_by=["doc_id"])
+    assert not again["compacted"] and again["reason"] == "nothing to fold"
