@@ -37,12 +37,59 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+# storage-layout knobs that cannot change a stage's OUTPUT — hashing
+# them into the fingerprint would mark every existing checkpoint stale
+# on a backend switch or a workdir move (silent full recompute)
+_STORAGE_KNOBS = {"checkpoint_dir", "checkpoint_backend"}
+
+
 def config_fingerprint(cfg) -> str:
-    """Stable hash of a dataclass-like config's public fields."""
+    """Stable hash of a dataclass-like config's RESULT-affecting public
+    fields; storage knobs (where/how stages are stored) are excluded."""
     items = sorted(
-        (k, repr(v)) for k, v in vars(cfg).items() if not k.startswith("_")
+        (k, repr(v))
+        for k, v in vars(cfg).items()
+        if not k.startswith("_") and k not in _STORAGE_KNOBS
     )
     return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
+
+
+def _newest_mtime(path: str) -> float:
+    """Most recent mtime of the path or anything under it — the honest
+    'last write activity' signal for in-flight Spark output dirs."""
+    newest = os.path.getmtime(path)
+    for dirpath, _, files in os.walk(path):
+        for entry in files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, entry))
+                )
+            except OSError:
+                continue
+    return newest
+
+
+def _assert_backend_layout(root: str, name: str, backend: str) -> None:
+    """The two backends share the per-stage path `root/<name>` with
+    incompatible layouts; opening a stage written by the OTHER backend
+    must be a clear error, not a parquet 'conflicting directory
+    structures' crash (dirs reading table) or a silent
+    'stage not found' recompute (table reading dirs)."""
+    import glob as _glob
+
+    stage = os.path.join(root, name)
+    if backend == "table" and os.path.exists(stage + ".meta.json"):
+        raise ValueError(
+            f"checkpoint stage '{name}' under {root} was written by the "
+            f"'dirs' backend — keep --checkpoint-backend dirs for this "
+            f"workdir, or use a fresh workdir for the table backend"
+        )
+    if backend == "dirs" and _glob.glob(os.path.join(stage, "v*.manifest.json")):
+        raise ValueError(
+            f"checkpoint stage '{name}' under {root} was written by the "
+            f"'table' backend — keep --checkpoint-backend table for this "
+            f"workdir, or use a fresh workdir for the dirs backend"
+        )
 
 
 class CheckpointStore:
@@ -58,6 +105,7 @@ class CheckpointStore:
         return os.path.join(self.root, f"{name}.meta.json")
 
     def exists(self, name: str) -> bool:
+        _assert_backend_layout(self.root, name, "dirs")
         # both the meta AND the data dir: a crash in the swap window can
         # leave a stale meta pointing at a missing/renamed-away data dir —
         # treat that as "stage absent" (recompute), never as corruption
@@ -81,7 +129,12 @@ class CheckpointStore:
             self._path(f"{name}.old-*")
         ):
             try:
-                if now - os.path.getmtime(d) < min_age_s:
+                # NEWEST mtime anywhere under the dir, not the top-level
+                # dir's: a long-running Spark write keeps adding task
+                # files under _temporary/ while the dir's own mtime stays
+                # at job start — judging age by the top level would sweep
+                # a live >1h write mid-job
+                if now - _newest_mtime(d) < min_age_s:
                     continue
             except OSError:
                 continue  # already gone (concurrent sweep)
@@ -206,9 +259,11 @@ class TableCheckpointStore:
     def _table(self, name: str):
         from simages_spark.table import SnapshotTable
 
+        _assert_backend_layout(self.root, name, "table")
         return SnapshotTable(self.spark, os.path.join(self.root, name))
 
     def exists(self, name: str) -> bool:
+        _assert_backend_layout(self.root, name, "table")
         if not os.path.isdir(os.path.join(self.root, name)):
             return False
         return self._table(name).current_version() is not None
@@ -230,12 +285,20 @@ class TableCheckpointStore:
         gid, gstats = t._stage_group_with_stats(with_lineage)
         staged = self.spark.read.parquet(t._group_path(gid))
         schema = staged.schema.simpleString()
+        # rows from the footer stats, partitions from the file count
+        # (one writer task = one file) — ZERO extra Spark jobs; the
+        # staged bytes were scanned exactly once, by the write itself
+        n_files = sum(
+            1
+            for f in os.listdir(t._group_path(gid))
+            if f.endswith(".parquet")
+        )
         props = {
             "name": name,
             "run_id": run_id,
             "fingerprint": fingerprint,
-            "rows": staged.count(),
-            "partitions": staged.select("part_id").distinct().count(),
+            "rows": gstats["rows"],
+            "partitions": n_files,
             "written_at_unix": time.time(),
             "schema": schema,
         }

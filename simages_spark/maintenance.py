@@ -35,10 +35,14 @@ compaction converges: the next generation folds everything it finds
 
 Concurrency contract: run while the stream is NOT mid-batch (the
 availableNow trigger pattern makes this natural — compaction slots
-between runs). Compacting concurrently with an in-flight batch N could
-fold N's partially-written keys into the generation partition, where a
-retry of N would then see its own keys as "existing", violating the
-pre-batch-state probe contract (streaming.py).
+between runs). As defense in depth the fold always EXCLUDES the newest
+live batch partition: "stream stopped" cannot distinguish a cleanly
+finished last batch from one whose process died mid-write before the
+streaming checkpoint advanced, and folding a partial batch N into a
+negative generation would bake its partial rows in forever AND defeat
+the retry's `batch_id < N` pre-batch-state prune (its own keys would
+come back as -gen < N). The newest batch simply waits one compaction
+cycle.
 """
 
 from __future__ import annotations
@@ -81,7 +85,17 @@ def compact_batch_partitions(
     (e.g. `pkey`), so parquet row-group min/max stats prune probe scans
     within the compacted partition."""
     parts = list_batch_partitions(spark, path)
-    if len(parts) <= 1:
+    # NEVER fold the newest live batch partition: if the stream crashed
+    # mid-batch N, batch_id=N holds a PARTIAL write that the retry of N
+    # will replace via dynamic partition overwrite — folding it into a
+    # negative generation would both bake the partial rows in forever
+    # and defeat the retry's `batch_id < N` pre-batch-state prune (its
+    # own keys would come back as -gen < N). A cleanly finished batch
+    # just waits one compaction cycle.
+    live = [p for p in parts if p >= 0]
+    keep_out = max(live) if live else None
+    fold = [p for p in parts if p != keep_out]
+    if len(fold) <= 1:
         return {
             "compacted": False,
             "folded_partitions": 0,
@@ -90,10 +104,13 @@ def compact_batch_partitions(
     gen = 1 + max((-p for p in parts if p < 0), default=0)
     target = -gen
 
-    df = spark.read.parquet(path).drop("batch_id")
+    df = spark.read.parquet(path)
+    if keep_out is not None:
+        df = df.where(F.col("batch_id") != keep_out)
+    df = df.drop("batch_id")
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
-    n_files = n_output_files or min(32, len(parts))
+    n_files = n_output_files or min(32, len(fold))
     if layout_col is not None:
         df = df.repartition(n_files, layout_col).sortWithinPartitions(layout_col)
     else:
@@ -106,14 +123,14 @@ def compact_batch_partitions(
     )
 
     fs, _, jvm = _fs(spark, path)
-    for p in parts:
+    for p in fold:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={p}"), True)
 
     # footer-metadata count — no data scan
     rows = spark.read.parquet(path).where(F.col("batch_id") == target).count()
     return {
         "compacted": True,
-        "folded_partitions": len(parts),
+        "folded_partitions": len(fold),
         "generation": gen,
         "target_batch_id": target,
         "rows": rows,

@@ -120,6 +120,16 @@ def incremental_dedup_edges(
         # soon as this DataFrame is garbage-collected, so the lifetime
         # really is bounded by the caller's use of the returned edges.
         # Small (≈ candidate-pair cardinality, ids only).
+        # Trade-off, eyes open: localCheckpoint blocks are NOT
+        # replicated and truncate lineage — on a multi-executor cluster
+        # an executor loss (decommission/preemption) makes later actions
+        # on these edges fail instead of recompute. In the streaming
+        # caller that failure is ABSORBED at the next level up: the
+        # foreachBatch batch fails, Structured Streaming retries it, and
+        # the replay is idempotent (batch-granularity recovery instead
+        # of task-granularity). Batch callers that cannot accept a job
+        # retry under executor churn should prefer cfg-level reliable
+        # checkpointing on a shared FS.
         .localCheckpoint(eager=True)
     )
     matched = candidates.select(F.col("dst").alias("doc_id")).distinct()

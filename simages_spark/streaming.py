@@ -680,7 +680,13 @@ def stream_crawl_dedup(
         .start()
     )
     q2.awaitTermination()
-    n_lineage = spark.read.parquet(lineage_dir).count()
+    # first tick on an empty incoming dir: zero batches ran, the file
+    # sink never created lineage_dir — report zeros, don't crash
+    n_lineage = (
+        spark.read.parquet(lineage_dir).count()
+        if _hadoop_path_exists(spark, lineage_dir)
+        else 0
+    )
     n_keepers = (
         spark.read.parquet(f"{root}/sig").count()
         if _hadoop_path_exists(spark, f"{root}/sig")

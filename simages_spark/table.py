@@ -70,6 +70,21 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _newest_mtime(path: str) -> float:
+    """Most recent mtime of the path or anything under it — the honest
+    'last write activity' signal for in-flight Spark output dirs."""
+    newest = os.path.getmtime(path)
+    for dirpath, _, files in os.walk(path):
+        for entry in files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(dirpath, entry))
+                )
+            except OSError:
+                continue
+    return newest
+
 # JSON-safe parquet-footer stat types we harvest; anything else (bytes,
 # timestamps, nested) simply yields no stats → the group is conservatively
 # treated as "may contain matches" by the pruner.
@@ -122,7 +137,16 @@ class SnapshotTable:
         return man
 
     def history(self) -> list[dict]:
-        return [self.manifest(v) for v in self.versions()]
+        """All readable manifests, oldest first. A manifest expired by a
+        CONCURRENT `expire_snapshots` between the listing and the open is
+        skipped, not an error — the two maintenance ops must coexist."""
+        out = []
+        for v in self.versions():
+            try:
+                out.append(self.manifest(v))
+            except FileNotFoundError:
+                continue
+        return out
 
     # ---------- reads ----------
 
@@ -822,7 +846,10 @@ class SnapshotTable:
         when no writer can be active."""
         referenced: set[str] = set()
         for v in self.versions():
-            referenced.update(self.manifest(v)["data_groups"])
+            try:
+                referenced.update(self.manifest(v)["data_groups"])
+            except FileNotFoundError:
+                continue  # expired by a concurrent expire_snapshots
         removed = 0
         now = time.time()
         data_dir = os.path.join(self.root, "data")
@@ -831,11 +858,26 @@ class SnapshotTable:
                 continue
             gdir = os.path.join(data_dir, g)
             try:
-                age = now - os.path.getmtime(gdir)
+                # NEWEST mtime under the dir, not the top level's: a
+                # long (> grace) in-flight Spark write keeps the dir's
+                # own mtime at job start while task files land under
+                # _temporary/ — top-level age would sweep a live write
+                age = now - _newest_mtime(gdir)
             except OSError:
                 continue  # swept by a concurrent vacuum
             if age < min_age_s:
                 continue  # possibly an in-flight writer's staged group
             shutil.rmtree(gdir, ignore_errors=True)
             removed += 1
+        # crashed commits can leave v*.manifest.json.tmp-* at the root
+        # (the os.link publish never ran); nothing else sweeps those
+        for f in os.listdir(self.root):
+            if ".manifest.json.tmp-" not in f:
+                continue
+            p = os.path.join(self.root, f)
+            try:
+                if now - os.path.getmtime(p) >= min_age_s:
+                    os.unlink(p)
+            except OSError:
+                continue
         return removed

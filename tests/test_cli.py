@@ -209,3 +209,37 @@ def test_cli_compact_crawl_tables_missing_root_errors(tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["compact", "--crawl-tables", bogus])
     assert not (tmp_path / "nope").exists()  # nothing fabricated
+
+
+def test_checkpoint_backend_layout_guard(spark, tmp_path):
+    """A stage written by one backend must be a clear error from the
+    other — not a parquet layout crash or a silent recompute."""
+    import pytest
+
+    from simages_spark.checkpoint import (
+        CheckpointStore,
+        TableCheckpointStore,
+        config_fingerprint,
+    )
+
+    wd = str(tmp_path / "wd")
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    CheckpointStore(spark, wd).write("sig", df)
+    with pytest.raises(ValueError, match="'dirs' backend"):
+        TableCheckpointStore(spark, wd).exists("sig")
+
+    wd2 = str(tmp_path / "wd2")
+    TableCheckpointStore(spark, wd2).write("sig", df)
+    with pytest.raises(ValueError, match="'table' backend"):
+        CheckpointStore(spark, wd2).exists("sig")
+
+    # storage knobs must NOT invalidate fingerprints: flipping the
+    # backend or moving the workdir is not a semantic config change
+    from simages_spark.config import DedupConfig
+
+    a = DedupConfig(checkpoint_dir="/x", checkpoint_backend="dirs")
+    b = DedupConfig(checkpoint_dir="/y", checkpoint_backend="table")
+    assert config_fingerprint(a) == config_fingerprint(b)
+    assert config_fingerprint(a) != config_fingerprint(
+        DedupConfig(jaccard_threshold=0.7)
+    )

@@ -182,7 +182,12 @@ def test_checkpoint_write_crash_atomic(spark, tmp_path):
     dead_tmp = os.path.join(str(tmp_path / "ck3"), "s.tmp-r2")
     os.makedirs(dead_tmp)
     open(os.path.join(dead_tmp, "part-00000.parquet"), "w").write("garbage")
-    os.utime(dead_tmp, (0, 0))  # backdate past the grace window
+    # backdate EVERYTHING under it past the grace window: the sweep now
+    # judges liveness by the newest mtime anywhere in the dir (a live
+    # long write keeps adding young task files), so a truly dead write
+    # means dir AND contents are old
+    os.utime(os.path.join(dead_tmp, "part-00000.parquet"), (0, 0))
+    os.utime(dead_tmp, (0, 0))
     assert store.get_or_compute("s", lambda: 1 / 0).collect()[0]["x"] == 1
     store.write("s", spark.createDataFrame([(2,)], ["x"]), run_id="r3")
     assert not os.path.exists(dead_tmp)  # swept by the next write

@@ -56,9 +56,11 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
     ci = compact_probe_index(spark, f"{b}/idx")
     cs = compact_signature_store(spark, f"{b}/sig")
     assert ci["compacted"] and cs["compacted"]
-    assert ci["folded_partitions"] == 4
-    assert list_batch_partitions(spark, f"{b}/idx") == [-1]
-    assert list_batch_partitions(spark, f"{b}/sig") == [-1]
+    # the newest live batch (3) is NEVER folded — it may be a crashed
+    # partial write whose retry needs dynamic-overwrite semantics
+    assert ci["folded_partitions"] == 3
+    assert list_batch_partitions(spark, f"{b}/idx") == [-1, 3]
+    assert list_batch_partitions(spark, f"{b}/sig") == [-1, 3]
 
     # the next batch probes identically against compacted vs raw stores
     for root in (a, b):
@@ -68,8 +70,8 @@ def test_compaction_preserves_probe_results(spark, tmp_path):
         )
     got_a, got_b = _edges_of_batch(spark, a, 4), _edges_of_batch(spark, b, 4)
     assert got_a == got_b and got_a  # non-trivial: BASE/NEAR matches exist
-    # listing cost: compacted store holds [gen, new batch] only
-    assert list_batch_partitions(spark, f"{b}/idx") == [-1, 4]
+    # listing cost: compacted store holds [gen, kept tail, new batch]
+    assert list_batch_partitions(spark, f"{b}/idx") == [-1, 3, 4]
     assert list_batch_partitions(spark, f"{a}/idx") == [0, 1, 2, 3, 4]
 
 
@@ -92,11 +94,11 @@ def test_compaction_crash_leftovers_are_harmless(spark, tmp_path):
         )
     assert _edges_of_batch(spark, a, 4) == _edges_of_batch(spark, b, 4)
 
-    # re-running compaction converges: leftover + gen + new batch fold
-    # into generation 2 with no duplicate rows
+    # re-running compaction converges: leftover + prior gen + all but
+    # the newest batch fold into generation 2 with no duplicate rows
     c2 = compact_probe_index(spark, f"{b}/idx")
     assert c2["generation"] == 2
-    assert list_batch_partitions(spark, f"{b}/idx") == [-2]
+    assert list_batch_partitions(spark, f"{b}/idx") == [-2, 4]
     idx = spark.read.parquet(f"{b}/idx")
     assert idx.count() == idx.dropDuplicates(
         ["kind", "pkey", "doc_id", "simhash"]

@@ -518,3 +518,18 @@ def test_compact_sort_by_restores_scan_pruning(spark, tmp_path):
     # an hourly maintenance rerun must converge, not rewrite the table
     again = t.compact(target_rows=150, sort_by=["doc_id"])
     assert not again["compacted"] and again["reason"] == "nothing to fold"
+
+
+def test_vacuum_sweeps_orphan_tmp_manifests(spark, tmp_path):
+    """A crash between tmp-manifest write and the os.link publish leaves
+    v*.manifest.json.tmp-* at the root; vacuum reclaims them past the
+    grace window and leaves live state alone."""
+    t = SnapshotTable(spark, str(tmp_path / "tv1"))
+    t.append(_df(spark, [1]))
+    orphan = os.path.join(t.root, "v9.manifest.json.tmp-deadbeef")
+    open(orphan, "w").write("{}")
+    t.vacuum(min_age_s=3600)  # young: kept
+    assert os.path.exists(orphan)
+    t.vacuum(min_age_s=0)
+    assert not os.path.exists(orphan)
+    assert t.read().count() == 1  # live manifest untouched
