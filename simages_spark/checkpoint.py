@@ -45,7 +45,16 @@ _STORAGE_KNOBS = {"checkpoint_dir", "checkpoint_backend"}
 
 def config_fingerprint(cfg) -> str:
     """Stable hash of a dataclass-like config's RESULT-affecting public
-    fields; storage knobs (where/how stages are stored) are excluded."""
+    fields; storage knobs (where/how stages are stored) are excluded.
+
+    Migration note: stages written by builds that still hashed the
+    storage knobs carry a fingerprint this function can no longer
+    reproduce, so their first resume after upgrading recomputes once
+    (the stale-checkpoint path, loud in the stage metrics' run_id).
+    The alternative — keeping storage knobs in the hash — silently
+    invalidates every checkpoint on every workdir move or backend
+    switch, forever; one visible recompute at upgrade is the cheaper
+    contract."""
     items = sorted(
         (k, repr(v))
         for k, v in vars(cfg).items()
@@ -54,19 +63,7 @@ def config_fingerprint(cfg) -> str:
     return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
 
 
-def _newest_mtime(path: str) -> float:
-    """Most recent mtime of the path or anything under it — the honest
-    'last write activity' signal for in-flight Spark output dirs."""
-    newest = os.path.getmtime(path)
-    for dirpath, _, files in os.walk(path):
-        for entry in files:
-            try:
-                newest = max(
-                    newest, os.path.getmtime(os.path.join(dirpath, entry))
-                )
-            except OSError:
-                continue
-    return newest
+from simages_spark.table import _newest_mtime  # shared liveness signal
 
 
 def _assert_backend_layout(root: str, name: str, backend: str) -> None:
@@ -156,6 +153,10 @@ class CheckpointStore:
         (round-2 verdict item 7; mode("overwrite") deletes the old data
         before the new job finishes, so a mid-write kill used to destroy
         the snapshot being replaced)."""
+        # the guard matters MOST here: this path renames-away and
+        # rmtree's whatever sits at root/<name> — on a table-backend
+        # stage that would destroy its entire version history silently
+        _assert_backend_layout(self.root, name, "dirs")
         import shutil
 
         # uuid suffix: second-granularity timestamps collide when two
@@ -285,9 +286,13 @@ class TableCheckpointStore:
         gid, gstats = t._stage_group_with_stats(with_lineage)
         staged = self.spark.read.parquet(t._group_path(gid))
         schema = staged.schema.simpleString()
-        # rows from the footer stats, partitions from the file count
-        # (one writer task = one file) — ZERO extra Spark jobs; the
-        # staged bytes were scanned exactly once, by the write itself
+        # rows from the footer stats, partitions from the file count —
+        # ZERO extra Spark jobs; the staged bytes were scanned exactly
+        # once, by the write itself. Caveat recorded honestly: file
+        # count equals producing-partition count for the default write
+        # (one task = one file); empty tasks' schema-only files or a
+        # maxRecordsPerFile split make it an upper bound, while the
+        # exact per-row lineage stays in the part_id column itself
         n_files = sum(
             1
             for f in os.listdir(t._group_path(gid))

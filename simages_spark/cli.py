@@ -65,13 +65,14 @@ def _schema_columns(schema: str) -> list[str]:
     """Top-level field names of a simpleString schema
     ('struct<a:bigint,b:array<struct<c:int>>>' → ['a', 'b']) — a
     depth-aware split, NOT a substring test: 'id' must not match
-    'batch_id:', and nested field names must not count."""
+    'batch_id:', and nested field names must not count. Both bracket
+    kinds nest: decimal(10,2)/varchar(n) carry commas in PARENS."""
     inner = schema.removeprefix("struct<").removesuffix(">")
     cols, depth, start = [], 0, 0
     for i, ch in enumerate(inner + ","):
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             field = inner[start:i]

@@ -243,7 +243,14 @@ def _table_has_batches_below(table, batch_id: int) -> bool:
     man = table.manifest(v)
     stats = man.get("group_stats") or {}
     for g in man["data_groups"]:
-        rng = ((stats.get(g) or {}).get("columns") or {}).get("batch_id")
+        st = stats.get(g) or {}
+        if st.get("rows") == 0:
+            continue  # empty group (zero-row batch) — no column stats,
+            # but provably no prior rows either; without this, replaying
+            # a zero-row FIRST batch would take the probe branch and
+            # publish the spurious empty edges version the stats check
+            # exists to prevent
+        rng = (st.get("columns") or {}).get("batch_id")
         if rng is None or rng[0] < batch_id:
             return True
     return False

@@ -870,14 +870,19 @@ class SnapshotTable:
             shutil.rmtree(gdir, ignore_errors=True)
             removed += 1
         # crashed commits can leave v*.manifest.json.tmp-* at the root
-        # (the os.link publish never ran); nothing else sweeps those
+        # (the os.link publish never ran), and a hard-killed sorted
+        # compaction leaves its sortpack.tmp-* shuffle dir (the
+        # finally-block only runs on Python-level failure); nothing
+        # else sweeps either
         for f in os.listdir(self.root):
-            if ".manifest.json.tmp-" not in f:
-                continue
             p = os.path.join(self.root, f)
             try:
-                if now - os.path.getmtime(p) >= min_age_s:
-                    os.unlink(p)
+                if ".manifest.json.tmp-" in f:
+                    if now - os.path.getmtime(p) >= min_age_s:
+                        os.unlink(p)
+                elif f.startswith("sortpack.tmp-"):
+                    if now - _newest_mtime(p) >= min_age_s:
+                        shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 continue
         return removed

@@ -243,3 +243,10 @@ def test_checkpoint_backend_layout_guard(spark, tmp_path):
     assert config_fingerprint(a) != config_fingerprint(
         DedupConfig(jaccard_threshold=0.7)
     )
+
+
+def test_schema_columns_parametrized_types():
+    from simages_spark.cli import _schema_columns
+
+    s = "struct<score:decimal(10,2),name:varchar(20),doc_id:bigint>"
+    assert _schema_columns(s) == ["score", "name", "doc_id"]
