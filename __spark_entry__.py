@@ -26,7 +26,7 @@ from simages_spark.operators.ann import (
 )
 from simages_spark.operators.bruteforce import bruteforce_jaccard_pairs, shingle_sets
 from simages_spark.operators.connected_components import connected_components
-from simages_spark.operators.exact import with_content_hash
+from simages_spark.operators.exact import source_dup_stats, with_content_hash
 from simages_spark.operators.groups import (
     duplicate_groups,
     keep_first_policy,
@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_hash": lambda spark, sf: with_content_hash(_docs(spark, sf))
         .groupBy("text_sha")
         .agg(F.count("*").alias("total")),
+        # J7a rollup — dedup attribution by crawl source (which source
+        # feeds the duplicates: redundant docs under corpus-wide
+        # keep-first exact dedup, per source)
+        "source_dup_stats": lambda spark, sf: source_dup_stats(
+            _docs(spark, sf), by="source"
+        ),
         # M4 precursor — shingling stats (value-checks the shingle semantics)
         "shingle_stats": lambda spark, sf: shingle_sets(_docs(spark, sf), CFG).select(
             "doc_id", F.size("shingles").alias("num_shingles")
@@ -560,6 +566,18 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_hash": (
             "SELECT sha256(text) AS text_sha, count(*) AS total "
             "FROM documents GROUP BY 1"
+        ),
+        "source_dup_stats": (
+            # CAST: DuckDB sum(int) is HUGEINT; Spark F.sum(int) is LONG
+            "WITH h AS (SELECT doc_id, source, sha256(text) AS text_sha "
+            "FROM documents), "
+            "k AS (SELECT text_sha, min(doc_id) AS keeper FROM h GROUP BY 1) "
+            "SELECT h.source, count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_dup_docs, "
+            "round(sum(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END)"
+            "::DOUBLE / count(*), 6) AS dup_ratio "
+            "FROM h JOIN k USING (text_sha) GROUP BY 1"
         ),
         "shingle_stats": (
             f"SELECT doc_id, len(shingles) AS num_shingles FROM ({_SHINGLES})"

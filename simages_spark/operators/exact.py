@@ -26,6 +26,36 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_dup_stats(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Dedup attribution rollup: per `by` group (crawl source / domain /
+    snapshot), how many docs are REDUNDANT under corpus-wide keep-first
+    exact dedup (doc_id != min doc_id of its sha-256 group).
+
+    The ops question this answers at web scale is "which source is
+    feeding me duplicates" — the reference's per-folder duplicate counts
+    (src/simages/duplicate_finder.py:255-283) generalized to a keyed
+    rollup. Two shuffles, both inherent: one on the content hash (keeper
+    election, map-side partial agg), one on `by` (final rollup, ~|sources|
+    rows). No window over the corpus, no collect.
+    """
+    hashed = with_content_hash(docs, text_col).select("doc_id", by, "text_sha")
+    keepers = hashed.groupBy("text_sha").agg(F.min("doc_id").alias("_keeper"))
+    redundant = F.when(F.col("doc_id") != F.col("_keeper"), 1).otherwise(0)
+    return (
+        hashed.join(keepers, "text_sha")
+        .groupBy(by)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(redundant).alias("n_dup_docs"),
+            F.round(
+                F.sum(redundant).cast("double") / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 def exact_dup_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Star edges (src<dst, jaccard=1.0) connecting exact-identical docs.
 

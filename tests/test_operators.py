@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from simages_spark.config import DedupConfig
-from simages_spark.operators.exact import exact_dup_edges, exact_dup_groups
+from simages_spark.operators.exact import (
+    exact_dup_edges,
+    exact_dup_groups,
+    source_dup_stats,
+)
 from simages_spark.operators.joins import anti_join_new, enrich_pairs, semi_join_lookup
 from simages_spark.operators.lsh import band_keys, candidate_pairs, lsh_metrics
 from simages_spark.operators.simhash_join import simhash_candidates
@@ -87,6 +91,25 @@ def test_exact_dup_layer(spark):
     assert len(groups) == 1 and groups[0]["total"] == 2
     edges = exact_dup_edges(docs).collect()
     assert [(e["src"], e["dst"], e["jaccard"]) for e in edges] == [(1, 2, 1.0)]
+
+
+def test_source_dup_stats(spark):
+    """Redundancy is attributed to the NON-keeper doc's source: the keeper
+    (min doc_id corpus-wide) is never counted, even when its copies live
+    in other sources."""
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"),   # keeper of "same text"
+            (2, "same text", "b"),   # redundant, charged to b
+            (3, "same text", "b"),   # redundant, charged to b
+            (4, "other", "a"),       # unique
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r["source"]: r for r in source_dup_stats(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_dup_docs"] == 0
+    assert got["b"]["n_docs"] == 2 and got["b"]["n_dup_docs"] == 2
+    assert got["b"]["dup_ratio"] == 1.0 and got["a"]["dup_ratio"] == 0.0
 
 
 def test_salting_caps_hot_bucket(spark):
