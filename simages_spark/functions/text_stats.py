@@ -93,6 +93,75 @@ def quality_columns(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per doc: duplicate-token
+    ratio (1 - distinct/total), top-token ratio (most frequent token's
+    share), duplicate-2-gram ratio — the standard "is this page machine-
+    repeated boilerplate" filters for webtext training data.
+
+    Token frequencies go through explode → two keyed aggregations with
+    map-side partial combine — NOT an O(L²) per-row array lambda (Spark
+    higher-order lambdas are interpreted per element; a 10⁴-token page
+    would pay 10⁸ interpreted ops). The 2-gram ratio stays a per-row
+    array expression (O(L) windows). Empty/null text → all ratios 0.0.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n = F.size(toks)  # -1 for null text
+    grams2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g2 = docs.select(
+        "doc_id",
+        F.round(
+            F.when(
+                F.size(grams2) > 0,
+                1.0
+                - F.size(F.array_distinct(grams2)).cast("double")
+                / F.size(grams2),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_2gram_ratio"),
+    )
+    tok_counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("_n_toks"),
+        F.max("c").alias("_top_n"),
+        F.count("*").alias("_n_distinct"),
+    )
+    return (
+        g2.join(tok_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_toks"), F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("_n_toks") > 0,
+                    1.0
+                    - F.col("_n_distinct").cast("double") / F.col("_n_toks"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.when(
+                    F.col("_n_toks") > 0,
+                    F.col("_top_n").cast("double") / F.col("_n_toks"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("top_token_ratio"),
+            "dup_2gram_ratio",
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Deterministic content fingerprint: lexicographic min of the md5s of
     the doc's shingles (a 1-perm MinHash with a portable hash — the same

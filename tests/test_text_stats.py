@@ -7,7 +7,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from simages_spark.functions.multimodal import decode_image, media_metadata, sniff_magic
-from simages_spark.functions.text_stats import doc_fingerprint, quality_columns
+from simages_spark.functions.text_stats import (
+    doc_fingerprint,
+    quality_columns,
+    repetition_stats,
+)
 from simages_spark.operators.ann import (
     ann_cosine_pairs,
     bruteforce_cosine_pairs,
@@ -26,6 +30,34 @@ def test_quality_columns(spark):
     assert got[1]["stopword_ratio"] == pytest.approx(2 / 5)  # distinct hits: the, and
     assert got[2]["n_tokens"] == 0 and got[2]["lang_pred"] == "und"
     assert got[3]["symbol_ratio"] == pytest.approx(3 / 9, abs=1e-6)
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),      # 1 distinct token, 1 distinct 2-gram
+            (2, "all words here differ"),    # no repetition at all
+            (3, "a b a b a"),                # alternating: dup tokens + dup 2-grams
+            (4, None),                       # null text
+            (5, "solo"),                     # 1 token, no 2-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["dup_token_ratio"] == 0.75
+    assert got[1]["top_token_ratio"] == 1.0
+    # 3 windows "spam spam", all equal → 1 - 1/3
+    assert got[1]["dup_2gram_ratio"] == round(1 - 1 / 3, 6)
+    assert got[2]["dup_token_ratio"] == 0.0 and got[2]["dup_2gram_ratio"] == 0.0
+    assert got[2]["top_token_ratio"] == 0.25
+    # a:3 b:2 of 5 tokens; 4 2-grams, 2 distinct ("a b", "b a")
+    assert got[3]["dup_token_ratio"] == 0.6
+    assert got[3]["top_token_ratio"] == 0.6
+    assert got[3]["dup_2gram_ratio"] == 0.5
+    assert got[4]["n_tokens"] == 0 and got[4]["dup_token_ratio"] == 0.0
+    assert got[4]["top_token_ratio"] == 0.0 and got[4]["dup_2gram_ratio"] == 0.0
+    assert got[5]["n_tokens"] == 1 and got[5]["dup_2gram_ratio"] == 0.0
+    assert got[5]["top_token_ratio"] == 1.0
 
 
 def test_fingerprint_deterministic_and_content_defined(spark):
