@@ -60,6 +60,54 @@ def test_repetition_stats(spark):
     assert got[5]["top_token_ratio"] == 1.0
 
 
+def test_repetition_stats_matches_python_reference(spark):
+    """200 seeded-random texts (skewed token distributions, whitespace
+    runs, empties) through ONE Spark job vs a plain-Python reference
+    built on the canonical `tokenize` (the same function `tokens_col`
+    is pinned to). Tolerance 1.1e-6: Spark F.round is HALF_UP, Python
+    round is half-even — they may differ at exact .5e-7 boundaries."""
+    import random
+    from collections import Counter
+
+    from simages_spark.functions.shingles import tokenize
+
+    rng = random.Random(42)
+    vocab = ["spam", "a", "b", "the", "x1", "yy", "z"]
+    texts: list[str | None] = [None, "", "   ", "\t\n", "one"]
+    for _ in range(195):
+        n = rng.randint(1, 30)
+        words = [vocab[min(rng.randint(0, 6), rng.randint(0, 6))] for _ in range(n)]
+        sep = rng.choice([" ", "  ", " \t "])
+        texts.append(sep.join(words))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def ref(t: str | None):
+        toks = tokenize(t) if t is not None else []
+        n = len(toks)
+        if not n:
+            return (0, 0.0, 0.0, 0.0)
+        c = Counter(toks)
+        g2 = [" ".join(toks[i : i + 2]) for i in range(n - 1)]
+        return (
+            n,
+            1 - len(c) / n,
+            max(c.values()) / n,
+            (1 - len(set(g2)) / len(g2)) if g2 else 0.0,
+        )
+
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        n, dup_tok, top, dup_g2 = ref(t)
+        r = got[i]
+        assert r["n_tokens"] == n, (i, t)
+        assert abs(r["dup_token_ratio"] - dup_tok) <= 1.1e-6, (i, t)
+        assert abs(r["top_token_ratio"] - top) <= 1.1e-6, (i, t)
+        assert abs(r["dup_2gram_ratio"] - dup_g2) <= 1.1e-6, (i, t)
+
+
 def test_fingerprint_deterministic_and_content_defined(spark):
     docs = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "h i j k l m n")],
