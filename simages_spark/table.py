@@ -13,7 +13,10 @@ Layout under `root/`:
 
 A snapshot is the SET of data groups its manifest names, plus per-group
 column min/max stats harvested from the parquet footers at commit time
-(the Iceberg manifest-stats idea). Readers list manifests and read the
+(the Iceberg manifest-stats idea) and the snapshot's authoritative
+SCHEMA — reads pass it explicitly, so additive schema evolution
+(`append(df, merge_schema=True)`) needs no file rewrite: groups staged
+before a column existed simply lack it in their files and read as null. Readers list manifests and read the
 highest N (or any N: time travel) — they never see a partial write
 because data groups are fully written before the manifest exists, and
 the manifest is PUBLISHED atomically: it is fully written (and fsynced)
@@ -68,7 +71,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 
 def _newest_mtime(path: str) -> float:
@@ -156,13 +159,18 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"snapshot table at {self.root} has no versions")
-        groups = self.manifest(v)["data_groups"]
+        man = self.manifest(v)
+        groups = man["data_groups"]
         if not groups:
             # empty snapshot: preserve the schema recorded at commit time
-            return self.spark.createDataFrame(
-                [], self.manifest(v)["schema"]
-            )
-        return self.spark.read.parquet(*[self._group_path(g) for g in groups])
+            return self.spark.createDataFrame([], man["schema"])
+        # the manifest schema is authoritative (schema evolution: groups
+        # staged before a column was added simply lack it in their files
+        # and read as nulls); passing it explicitly also skips footer
+        # schema inference over the group listing
+        return self.spark.read.schema(self._struct(man["schema"])).parquet(
+            *[self._group_path(g) for g in groups]
+        )
 
     def scan(
         self,
@@ -192,7 +200,9 @@ class SnapshotTable:
             if all(self._range_hits(stats.get(g), c, lo, hi) for c, lo, hi in preds)
         ]
         if keep:
-            df = self.spark.read.parquet(*[self._group_path(g) for g in keep])
+            df = self.spark.read.schema(self._struct(man["schema"])).parquet(
+                *[self._group_path(g) for g in keep]
+            )
         else:
             df = self.spark.createDataFrame([], man["schema"])
         for c, lo, hi in preds:
@@ -359,9 +369,36 @@ class SnapshotTable:
         if man["schema"] != schema:
             raise ValueError(
                 f"{op}: DataFrame schema {schema!r} does not match the "
-                f"table schema {man['schema']!r} — schema evolution is not "
-                f"supported; overwrite() replaces the schema explicitly"
+                f"table schema {man['schema']!r} — use append(df, "
+                f"merge_schema=True) for additive evolution, or overwrite() "
+                f"to replace the schema explicitly"
             )
+
+    def _struct(self, schema: str) -> T.StructType:
+        """Parse a recorded schema string (simpleString/DDL) — driver-only."""
+        return self.spark.createDataFrame([], schema).schema
+
+    def _merged_schema(self, table_schema: str, df_schema: T.StructType) -> str:
+        """Additive schema evolution (Iceberg add-column semantics): the
+        union keeps the table's column order, appends genuinely new
+        columns, requires identical types for shared names (no silent
+        widening), and allows the incoming frame to OMIT existing columns
+        (its files simply lack them; reads fill nulls via the manifest
+        schema). Raises on a type conflict."""
+        base = self._struct(table_schema)
+        base_types = {f.name: f.dataType for f in base.fields}
+        out = list(base.fields)
+        for f in df_schema.fields:
+            have = base_types.get(f.name)
+            if have is None:
+                out.append(T.StructField(f.name, f.dataType, True))
+            elif have != f.dataType:
+                raise ValueError(
+                    f"merge_schema: column {f.name!r} has type "
+                    f"{f.dataType.simpleString()} but the table records "
+                    f"{have.simpleString()} — type changes are not supported"
+                )
+        return T.StructType(out).simpleString()
 
     # ---------- stat-based pruning ----------
 
@@ -409,10 +446,13 @@ class SnapshotTable:
 
     # ---------- operations ----------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
         """INSERT: stage once, commit referencing prior groups + the new
         one. Rebase on conflict just re-reads the parent group list — the
-        staged data is reused (appends commute)."""
+        staged data is reused (appends commute). With `merge_schema`,
+        additive evolution: new columns in `df` join the recorded schema,
+        columns `df` omits stay (its rows read as null there), shared
+        columns must keep their exact type — see `_merged_schema`."""
         gid, gstats = self._stage_group_with_stats(df)
         schema = df.schema.simpleString()
 
@@ -420,11 +460,15 @@ class SnapshotTable:
             if base is None:
                 return [gid], {gid: gstats}, schema
             man = self.manifest(base)
-            self._check_schema(man, schema, "append")
+            if merge_schema:
+                next_schema = self._merged_schema(man["schema"], df.schema)
+            else:
+                self._check_schema(man, schema, "append")
+                next_schema = schema
             prior = man["data_groups"]
             stats = self._carried_stats(man, prior)
             stats[gid] = gstats
-            return prior + [gid], stats, schema
+            return prior + [gid], stats, next_schema
 
         return self._commit_with_retry(mutate, "append")
 
@@ -509,7 +553,7 @@ class SnapshotTable:
             if not groups:
                 return [], {}, man["schema"]
             paths = [self._group_path(g) for g in groups]
-            snap = self.spark.read.parquet(*paths)
+            snap = self.spark.read.schema(self._struct(man["schema"])).parquet(*paths)
             gid_expr = F.regexp_extract(
                 F.input_file_name(), r"data/([0-9a-f]{32})/", 1
             )
@@ -523,7 +567,7 @@ class SnapshotTable:
             keep = [g for g in groups if g not in affected_set]
             stats = self._carried_stats(man, keep)
             if affected_set:
-                survivors = self.spark.read.parquet(
+                survivors = self.spark.read.schema(self._struct(man["schema"])).parquet(
                     *[self._group_path(g) for g in groups if g in affected_set]
                 ).where(~cond_true)
                 new_gid, new_stats = self._stage_group_with_stats(survivors)
@@ -534,11 +578,12 @@ class SnapshotTable:
         return self._commit_with_retry(mutate, "delete")
 
     def _rewrite_affected(
-        self, affected: list[str], keys: DataFrame, key: str
+        self, affected: list[str], keys: DataFrame, key: str, schema: str
     ) -> tuple[str, dict]:
-        """ONE job: union-read the affected groups, drop key matches,
-        stage survivors as a single new group."""
-        survivors = self.spark.read.parquet(
+        """ONE job: union-read the affected groups (manifest schema — the
+        groups may predate an evolved column), drop key matches, stage
+        survivors as a single new group."""
+        survivors = self.spark.read.schema(self._struct(schema)).parquet(
             *[self._group_path(g) for g in affected]
         ).join(keys, key, "left_anti")
         return self._stage_group_with_stats(survivors)
@@ -565,7 +610,9 @@ class SnapshotTable:
             groups = list(pruned)
             stats = self._carried_stats(man, pruned)
             if affected:
-                rg, rstats = self._rewrite_affected(affected, keys, key)
+                rg, rstats = self._rewrite_affected(
+                    affected, keys, key, man["schema"]
+                )
                 groups.append(rg)
                 stats[rg] = rstats
             groups.append(gid_new)
@@ -598,7 +645,9 @@ class SnapshotTable:
             groups = list(pruned)
             stats = self._carried_stats(man, pruned)
             if affected:
-                rg, rstats = self._rewrite_affected(affected, keys, key)
+                rg, rstats = self._rewrite_affected(
+                    affected, keys, key, man["schema"]
+                )
                 groups.append(rg)
                 stats[rg] = rstats
             return groups, stats, man["schema"]
@@ -690,7 +739,7 @@ class SnapshotTable:
                         "n_groups": len(man["data_groups"]),
                     }
                 staged = self._stage_sorted_packs(
-                    small, total, target_rows, sort_by
+                    small, total, target_rows, sort_by, man["schema"]
                 )
                 sources = set(small)
             else:
@@ -716,7 +765,10 @@ class SnapshotTable:
 
                 staged = []  # (new_gid, new_stats, source_bin)
                 for b in bins:
-                    packed = self.spark.read.parquet(
+                    # manifest schema: bins may mix groups staged before
+                    # and after an evolved column — footer inference from
+                    # an old file would silently drop the new column
+                    packed = self.spark.read.schema(self._struct(man["schema"])).parquet(
                         *[self._group_path(g) for g in b]
                     )
                     gid, gstats = self._stage_group_with_stats(packed)
@@ -775,7 +827,12 @@ class SnapshotTable:
         return all(hi < lo2 for (_, hi), (lo2, _) in zip(ranges, ranges[1:]))
 
     def _stage_sorted_packs(
-        self, small: list[str], total: int, target_rows: int, sort_by: list[str]
+        self,
+        small: list[str],
+        total: int,
+        target_rows: int,
+        sort_by: list[str],
+        schema: str,
     ) -> list[tuple[str, dict, None]]:
         """One Spark job: union-read the source groups, range-partition +
         sort on `sort_by`, land one file per range, then promote each
@@ -790,7 +847,8 @@ class SnapshotTable:
         staged: list[tuple[str, dict, None]] = []
         try:
             (
-                self.spark.read.parquet(*[self._group_path(g) for g in small])
+                self.spark.read.schema(self._struct(schema))
+                .parquet(*[self._group_path(g) for g in small])
                 .repartitionByRange(n_packs, *[F.col(c) for c in sort_by])
                 .sortWithinPartitions(*sort_by)
                 .write.mode("overwrite")

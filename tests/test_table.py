@@ -520,6 +520,59 @@ def test_compact_sort_by_restores_scan_pruning(spark, tmp_path):
     assert not again["compacted"] and again["reason"] == "nothing to fold"
 
 
+def test_schema_evolution_additive(spark, tmp_path):
+    """append(merge_schema=True): a new column joins the schema without
+    rewriting old groups (they read as null); column order = table first,
+    additions after; time travel keeps the old schema; the evolved table
+    still deletes/compacts correctly."""
+    t = SnapshotTable(spark, str(tmp_path / "tse"))
+    t.append(_df(spark, range(3)))
+    evolved = spark.createDataFrame(
+        [(10, "b10", "en"), (11, "b11", "de")],
+        "doc_id long, text string, lang string",
+    )
+    t.append(evolved, merge_schema=True)
+    df = t.read()
+    assert df.schema.names == ["doc_id", "text", "lang"]
+    got = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert got[0] is None and got[10] == "en" and got[11] == "de"
+    # time travel: the pre-evolution snapshot has the old schema
+    assert t.read(version=0).schema.names == ["doc_id", "text"]
+    # a frame may OMIT existing columns (its rows read as null there)
+    t.append(
+        spark.createDataFrame([(20, "fr")], "doc_id long, lang string"),
+        merge_schema=True,
+    )
+    row = {r["doc_id"]: r for r in t.read().collect()}[20]
+    assert row["text"] is None and row["lang"] == "fr"
+    # row-level delete over mixed-schema groups keeps the union schema
+    t.delete_where(F.col("doc_id") == 11)
+    assert t.read().schema.names == ["doc_id", "text", "lang"]
+    assert {r["doc_id"] for r in t.read().collect()} == {0, 1, 2, 10, 20}
+    # compaction folds mixed-schema groups without dropping the column
+    res = t.compact(target_rows=1000)
+    assert res["compacted"]
+    after = {r["doc_id"]: r for r in t.read().collect()}
+    assert after[10]["lang"] == "en" and after[0]["lang"] is None
+    assert len(after) == 5
+
+
+def test_schema_evolution_rejects_type_change(spark, tmp_path):
+    import pytest
+
+    t = SnapshotTable(spark, str(tmp_path / "tse2"))
+    t.append(_df(spark, range(3)))
+    bad = spark.createDataFrame([(5, 7)], "doc_id long, text int")
+    with pytest.raises(ValueError, match="type changes"):
+        t.append(bad, merge_schema=True)
+    # and without merge_schema a new column is still rejected
+    extra = spark.createDataFrame(
+        [(5, "x", "en")], "doc_id long, text string, lang string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(extra)
+
+
 def test_vacuum_sweeps_orphan_tmp_manifests(spark, tmp_path):
     """A crash between tmp-manifest write and the os.link publish leaves
     v*.manifest.json.tmp-* at the root; vacuum reclaims them past the
