@@ -584,7 +584,9 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_dup_docs, "
             "round(sum(CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END)"
             "::DOUBLE / count(*), 6) AS dup_ratio "
-            "FROM h JOIN k USING (text_sha) GROUP BY 1"
+            # LEFT: NULL-text docs (sha NULL) join no keeper and count as
+            # not-redundant, but stay in n_docs
+            "FROM h LEFT JOIN k USING (text_sha) GROUP BY 1"
         ),
         "shingle_stats": (
             f"SELECT doc_id, len(shingles) AS num_shingles FROM ({_SHINGLES})"

@@ -39,12 +39,18 @@ def source_dup_stats(
     rollup. Two shuffles, both inherent: one on the content hash (keeper
     election, map-side partial agg), one on `by` (final rollup, ~|sources|
     rows). No window over the corpus, no collect.
+
+    NULL-text docs: sha2(NULL) is NULL, which joins no keeper — the LEFT
+    join keeps the row with a NULL keeper, so `doc_id != keeper` is NULL
+    and the doc counts as NOT redundant. NULL-text docs stay in n_docs
+    (the denominator) but are never duplicates of each other, matching
+    `exact_dup_edges`' exclusion of null/empty docs from dup semantics.
     """
     hashed = with_content_hash(docs, text_col).select("doc_id", by, "text_sha")
     keepers = hashed.groupBy("text_sha").agg(F.min("doc_id").alias("_keeper"))
     redundant = F.when(F.col("doc_id") != F.col("_keeper"), 1).otherwise(0)
     return (
-        hashed.join(keepers, "text_sha")
+        hashed.join(keepers, "text_sha", "left")
         .groupBy(by)
         .agg(
             F.count("*").alias("n_docs"),

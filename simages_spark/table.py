@@ -168,8 +168,8 @@ class SnapshotTable:
         # staged before a column was added simply lack it in their files
         # and read as nulls); passing it explicitly also skips footer
         # schema inference over the group listing
-        return self.spark.read.schema(self._struct(man["schema"])).parquet(
-            *[self._group_path(g) for g in groups]
+        return self._read_groups(
+            man["schema"], [self._group_path(g) for g in groups]
         )
 
     def scan(
@@ -200,8 +200,8 @@ class SnapshotTable:
             if all(self._range_hits(stats.get(g), c, lo, hi) for c, lo, hi in preds)
         ]
         if keep:
-            df = self.spark.read.schema(self._struct(man["schema"])).parquet(
-                *[self._group_path(g) for g in keep]
+            df = self._read_groups(
+                man["schema"], [self._group_path(g) for g in keep]
             )
         else:
             df = self.spark.createDataFrame([], man["schema"])
@@ -375,8 +375,29 @@ class SnapshotTable:
             )
 
     def _struct(self, schema: str) -> T.StructType:
-        """Parse a recorded schema string (simpleString/DDL) — driver-only."""
-        return self.spark.createDataFrame([], schema).schema
+        """Parse a recorded schema string (simpleString/DDL) — driver-only,
+        memoized (read/scan/rewrites re-parse the same manifest string)."""
+        cache = getattr(self, "_schema_cache", None)
+        if cache is None:
+            cache = self._schema_cache = {}
+        st = cache.get(schema)
+        if st is None:
+            st = cache[schema] = self.spark.createDataFrame([], schema).schema
+        return st
+
+    def _read_groups(self, schema: str, paths: list[str]) -> DataFrame:
+        """Group read with the manifest schema applied explicitly (schema
+        evolution: old groups lack evolved columns and read as null).
+        Tables written before schemas were parse-checked may record a
+        simpleString that doesn't round-trip (e.g. unquoted hyphenated
+        column names) — those can never have been evolved (evolution
+        parses at merge time), so footer inference is still correct and
+        we fall back to it."""
+        try:
+            st = self._struct(schema)
+        except Exception:
+            return self.spark.read.parquet(*paths)
+        return self.spark.read.schema(st).parquet(*paths)
 
     def _merged_schema(self, table_schema: str, df_schema: T.StructType) -> str:
         """Additive schema evolution (Iceberg add-column semantics): the
@@ -384,15 +405,25 @@ class SnapshotTable:
         columns, requires identical types for shared names (no silent
         widening), and allows the incoming frame to OMIT existing columns
         (its files simply lack them; reads fill nulls via the manifest
-        schema). Raises on a type conflict."""
+        schema). Raises on a type conflict.
+
+        Names match case-INSENSITIVELY (Spark's default resolution): a
+        case-variant of an existing column is the same column, not a new
+        one — recording both 'lang' and 'Lang' would make every read of
+        the new head version fail on ambiguous resolution. Types compare
+        by simpleString: the recorded schema always parses with
+        containsNull/nullable = true, so DataType equality would
+        spuriously reject a frame whose arrays carry containsNull=False
+        (e.g. anything built with F.transform)."""
         base = self._struct(table_schema)
-        base_types = {f.name: f.dataType for f in base.fields}
+        base_types = {f.name.lower(): f.dataType for f in base.fields}
         out = list(base.fields)
         for f in df_schema.fields:
-            have = base_types.get(f.name)
+            have = base_types.get(f.name.lower())
             if have is None:
                 out.append(T.StructField(f.name, f.dataType, True))
-            elif have != f.dataType:
+                base_types[f.name.lower()] = f.dataType
+            elif have.simpleString() != f.dataType.simpleString():
                 raise ValueError(
                     f"merge_schema: column {f.name!r} has type "
                     f"{f.dataType.simpleString()} but the table records "
@@ -553,7 +584,7 @@ class SnapshotTable:
             if not groups:
                 return [], {}, man["schema"]
             paths = [self._group_path(g) for g in groups]
-            snap = self.spark.read.schema(self._struct(man["schema"])).parquet(*paths)
+            snap = self._read_groups(man["schema"], paths)
             gid_expr = F.regexp_extract(
                 F.input_file_name(), r"data/([0-9a-f]{32})/", 1
             )
@@ -567,8 +598,9 @@ class SnapshotTable:
             keep = [g for g in groups if g not in affected_set]
             stats = self._carried_stats(man, keep)
             if affected_set:
-                survivors = self.spark.read.schema(self._struct(man["schema"])).parquet(
-                    *[self._group_path(g) for g in groups if g in affected_set]
+                survivors = self._read_groups(
+                    man["schema"],
+                    [self._group_path(g) for g in groups if g in affected_set],
                 ).where(~cond_true)
                 new_gid, new_stats = self._stage_group_with_stats(survivors)
                 keep = keep + [new_gid]
@@ -583,8 +615,8 @@ class SnapshotTable:
         """ONE job: union-read the affected groups (manifest schema — the
         groups may predate an evolved column), drop key matches, stage
         survivors as a single new group."""
-        survivors = self.spark.read.schema(self._struct(schema)).parquet(
-            *[self._group_path(g) for g in affected]
+        survivors = self._read_groups(
+            schema, [self._group_path(g) for g in affected]
         ).join(keys, key, "left_anti")
         return self._stage_group_with_stats(survivors)
 
@@ -768,8 +800,8 @@ class SnapshotTable:
                     # manifest schema: bins may mix groups staged before
                     # and after an evolved column — footer inference from
                     # an old file would silently drop the new column
-                    packed = self.spark.read.schema(self._struct(man["schema"])).parquet(
-                        *[self._group_path(g) for g in b]
+                    packed = self._read_groups(
+                        man["schema"], [self._group_path(g) for g in b]
                     )
                     gid, gstats = self._stage_group_with_stats(packed)
                     staged.append((gid, gstats, b))
@@ -847,8 +879,9 @@ class SnapshotTable:
         staged: list[tuple[str, dict, None]] = []
         try:
             (
-                self.spark.read.schema(self._struct(schema))
-                .parquet(*[self._group_path(g) for g in small])
+                self._read_groups(
+                    schema, [self._group_path(g) for g in small]
+                )
                 .repartitionByRange(n_packs, *[F.col(c) for c in sort_by])
                 .sortWithinPartitions(*sort_by)
                 .write.mode("overwrite")

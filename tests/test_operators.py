@@ -103,6 +103,8 @@ def test_source_dup_stats(spark):
             (2, "same text", "b"),   # redundant, charged to b
             (3, "same text", "b"),   # redundant, charged to b
             (4, "other", "a"),       # unique
+            (5, None, "c"),          # NULL text: counted, never redundant
+            (6, None, "c"),
         ],
         ["doc_id", "text", "source"],
     )
@@ -110,6 +112,7 @@ def test_source_dup_stats(spark):
     assert got["a"]["n_docs"] == 2 and got["a"]["n_dup_docs"] == 0
     assert got["b"]["n_docs"] == 2 and got["b"]["n_dup_docs"] == 2
     assert got["b"]["dup_ratio"] == 1.0 and got["a"]["dup_ratio"] == 0.0
+    assert got["c"]["n_docs"] == 2 and got["c"]["n_dup_docs"] == 0
 
 
 def test_salting_caps_hot_bucket(spark):

@@ -573,6 +573,31 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
         t.append(extra)
 
 
+def test_schema_evolution_nullability_and_case(spark, tmp_path):
+    """(a) containsNull=False arrays (anything built with F.transform)
+    merge cleanly against the recorded schema, which always parses
+    nullable — types compare by simpleString, not DataType equality.
+    (b) A case-variant of an existing column is the SAME column, not a
+    duplicate (recording both would make the head version unreadable)."""
+    t = SnapshotTable(spark, str(tmp_path / "tse3"))
+    arr = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(2)), lambda i: i * 2).alias("v"),
+    )
+    assert not arr.schema["v"].dataType.containsNull
+    t.append(arr)
+    t.append(arr, merge_schema=True)  # no-op merge must not raise
+    assert t.read().count() == 6
+    # case-variant existing column + genuinely new column
+    mixed = spark.createDataFrame(
+        [(9, [1, 2], "x")], "DOC_ID long, v array<int>, extra string"
+    )
+    t.append(mixed, merge_schema=True)
+    names = t.read().schema.names
+    assert names == ["doc_id", "v", "extra"]  # no DOC_ID duplicate
+    assert t.read().where(F.col("extra").isNotNull()).count() == 1
+
+
 def test_vacuum_sweeps_orphan_tmp_manifests(spark, tmp_path):
     """A crash between tmp-manifest write and the os.link publish leaves
     v*.manifest.json.tmp-* at the root; vacuum reclaims them past the
