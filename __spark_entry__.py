@@ -21,6 +21,7 @@ from simages_spark.functions.signatures import compute_signatures, perm_params_i
 from simages_spark.functions.text_stats import (
     doc_fingerprint,
     quality_columns,
+    quality_filter,
     repetition_stats,
 )
 from simages_spark.operators.ann import (
@@ -203,6 +204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M3 — Gopher-style repetition filters (dup-token / top-token /
         # dup-2-gram ratios)
         "doc_repetition": lambda spark, sf: repetition_stats(_docs(spark, sf)),
+        # M3 — the composed training-set gate: first-failing-rule reason
+        "quality_filter": lambda spark, sf: quality_filter(_docs(spark, sf)),
         # fingerprinting (portable 1-perm MinHash via md5)
         "doc_fingerprint": lambda spark, sf: doc_fingerprint(_docs(spark, sf)),
         # multimodal plumbing over a binary column (sha/byte metadata)
@@ -560,6 +563,45 @@ _IVF_PAIRS = f"""
 """
 
 
+# Gopher-style repetition stats (shared by doc_repetition and
+# quality_filter)
+_REPETITION = f"""
+            WITH t AS ({_TOKS}),
+            tc AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY 1, 2
+            ),
+            ts AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+                     CAST(max(c) AS BIGINT) AS top_n,
+                     count(*) AS n_distinct
+              FROM tc GROUP BY 1
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 2 THEN
+                       [array_to_string(toks[i:i+1], ' ')
+                        for i in range(1, len(toks))]
+                     ELSE [] END AS g2
+              FROM t
+            )
+            SELECT t.doc_id,
+                   COALESCE(ts.n_toks, 0) AS n_tokens,
+                   round(CASE WHEN ts.n_toks > 0 THEN
+                     1.0 - ts.n_distinct::DOUBLE / ts.n_toks
+                     ELSE 0.0 END, 6) AS dup_token_ratio,
+                   round(CASE WHEN ts.n_toks > 0 THEN
+                     ts.top_n::DOUBLE / ts.n_toks
+                     ELSE 0.0 END, 6) AS top_token_ratio,
+                   round(CASE WHEN len(g.g2) > 0 THEN
+                     1.0 - len(list_distinct(g.g2))::DOUBLE / len(g.g2)
+                     ELSE 0.0 END, 6) AS dup_2gram_ratio
+            FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id
+            JOIN g ON t.doc_id = g.doc_id
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_stats": (
@@ -654,40 +696,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS lang_pred
             FROM ({_TOKS}) t JOIN documents USING (doc_id)
         """,
-        "doc_repetition": f"""
-            WITH t AS ({_TOKS}),
-            tc AS (
-              SELECT doc_id, tok, count(*) AS c
-              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-              GROUP BY 1, 2
-            ),
-            ts AS (
-              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
-                     CAST(max(c) AS BIGINT) AS top_n,
-                     count(*) AS n_distinct
-              FROM tc GROUP BY 1
-            ),
-            g AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 2 THEN
-                       [array_to_string(toks[i:i+1], ' ')
-                        for i in range(1, len(toks))]
-                     ELSE [] END AS g2
-              FROM t
-            )
-            SELECT t.doc_id,
-                   COALESCE(ts.n_toks, 0) AS n_tokens,
-                   round(CASE WHEN ts.n_toks > 0 THEN
-                     1.0 - ts.n_distinct::DOUBLE / ts.n_toks
-                     ELSE 0.0 END, 6) AS dup_token_ratio,
-                   round(CASE WHEN ts.n_toks > 0 THEN
-                     ts.top_n::DOUBLE / ts.n_toks
-                     ELSE 0.0 END, 6) AS top_token_ratio,
-                   round(CASE WHEN len(g.g2) > 0 THEN
-                     1.0 - len(list_distinct(g.g2))::DOUBLE / len(g.g2)
-                     ELSE 0.0 END, 6) AS dup_2gram_ratio
-            FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id
-            JOIN g ON t.doc_id = g.doc_id
+        "doc_repetition": _REPETITION,
+        "quality_filter": f"""
+            WITH rep AS ({_REPETITION})
+            SELECT doc_id,
+                   CASE
+                     WHEN n_tokens < 15 THEN 'too_short'
+                     WHEN dup_token_ratio > 0.6 THEN 'repetitive_tokens'
+                     WHEN top_token_ratio > 0.25 THEN 'dominant_token'
+                     ELSE 'keep'
+                   END AS reason,
+                   (CASE
+                     WHEN n_tokens < 15 THEN 'too_short'
+                     WHEN dup_token_ratio > 0.6 THEN 'repetitive_tokens'
+                     WHEN top_token_ratio > 0.25 THEN 'dominant_token'
+                     ELSE 'keep'
+                   END = 'keep') AS keep
+            FROM rep
         """,
         "doc_fingerprint": f"""
             SELECT doc_id,

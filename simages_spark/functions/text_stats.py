@@ -162,6 +162,39 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 15,
+    max_dup_token_ratio: float = 0.6,
+    max_top_token_ratio: float = 0.25,
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed C4/Gopher-style training-set gate: (doc_id, keep,
+    reason) where `reason` is the FIRST failing rule — too_short,
+    repetitive_tokens (duplicate-token ratio), dominant_token (top-token
+    share) — or 'keep'. Thresholds compare against the round-6 ratios of
+    `repetition_stats`, so the decision is engine-portable (the same
+    rounded values the oracle replays)."""
+    rep = repetition_stats(docs, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(
+            F.col("dup_token_ratio") > max_dup_token_ratio,
+            F.lit("repetitive_tokens"),
+        )
+        .when(
+            F.col("top_token_ratio") > max_top_token_ratio,
+            F.lit("dominant_token"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return rep.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Deterministic content fingerprint: lexicographic min of the md5s of
     the doc's shingles (a 1-perm MinHash with a portable hash — the same

@@ -10,6 +10,7 @@ from simages_spark.functions.multimodal import decode_image, media_metadata, sni
 from simages_spark.functions.text_stats import (
     doc_fingerprint,
     quality_columns,
+    quality_filter,
     repetition_stats,
 )
 from simages_spark.operators.ann import (
@@ -58,6 +59,38 @@ def test_repetition_stats(spark):
     assert got[4]["top_token_ratio"] == 0.0 and got[4]["dup_2gram_ratio"] == 0.0
     assert got[5]["n_tokens"] == 1 and got[5]["dup_2gram_ratio"] == 0.0
     assert got[5]["top_token_ratio"] == 1.0
+
+
+def test_quality_filter_reasons(spark):
+    """First-failing-rule precedence: a doc that is BOTH short and
+    repetitive reports too_short; rules fire independently otherwise."""
+    long_ok = " ".join(f"w{i}" for i in range(20))
+    repetitive = " ".join(["spam"] * 10 + [f"u{i}" for i in range(10)])
+    dominant = " ".join(["the"] * 6 + [f"v{i}" for i in range(14)])
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam"),  # short AND repetitive → too_short
+            (2, long_ok),           # keep
+            (3, repetitive),        # dup_token_ratio 9/20=0.45... make it fail
+            (4, dominant),          # top_token_ratio 6/20=0.3 > 0.25
+            (5, None),              # null → 0 tokens → too_short
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert got[1]["reason"] == "too_short" and not got[1]["keep"]
+    assert got[2]["reason"] == "keep" and got[2]["keep"]
+    assert got[4]["reason"] == "dominant_token"
+    assert got[5]["reason"] == "too_short"
+    # explicit threshold override: doc 3 (dup ratio 0.45) fails at 0.4
+    strict = {
+        r["doc_id"]: r
+        for r in quality_filter(docs, max_dup_token_ratio=0.4).collect()
+    }
+    assert strict[3]["reason"] == "repetitive_tokens"
+    # at defaults doc 3 passes the dup rule (0.45 ≤ 0.6) and falls to the
+    # NEXT rule (top token 10/20 = 0.5 > 0.25) — precedence is ordered
+    assert got[3]["reason"] == "dominant_token"
 
 
 def test_repetition_stats_matches_python_reference(spark):
