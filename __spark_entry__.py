@@ -94,6 +94,24 @@ def _exact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bruteforce_jaccard_pairs(_docs(spark, sf_dir), CFG, threshold=TAU)
 
 
+def _training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's end product: the doc set a training run would
+    read — keep-first exact-Jaccard dedup (cluster keepers + docs in no
+    cluster) intersected with the composed quality gate. Two semi/anti
+    joins over already-oracle-checked building blocks."""
+    docs = _docs(spark, sf_dir)
+    policy = keep_first_policy(
+        connected_components(_exact_edges(spark, sf_dir), CFG), docs, CFG
+    )
+    dropped = policy.where(~F.col("is_keeper")).select("doc_id")
+    kept_quality = quality_filter(docs).where(F.col("keep")).select("doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(dropped, "doc_id", "left_anti")
+        .join(kept_quality, "doc_id", "left_semi")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full LSH near-dup pipeline on sf0.001, verified edges."""
     docs = _docs(spark, "/root/testdata/sf0.001")
@@ -169,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf),
             CFG,
         ),
+        # the materialized end product: docs surviving keep-first dedup
+        # AND the composed quality gate — what a training run would read
+        "training_corpus": lambda spark, sf: _training_corpus(spark, sf),
         # J4 — anti-join: docs NOT in any duplicate pair (unique docs)
         "unique_docs": lambda spark, sf: _docs(spark, sf)
         .join(
@@ -654,6 +675,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS is_keeper
             FROM ({_CLUSTERS})
+        """,
+        "training_corpus": f"""
+            WITH clus AS ({_CLUSTERS}),
+            dropped AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY cluster_id)
+                         AS is_keeper
+                FROM clus
+              ) WHERE NOT is_keeper
+            ),
+            rep AS ({_REPETITION})
+            SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+              AND d.doc_id IN (
+                SELECT doc_id FROM rep
+                WHERE NOT (n_tokens < 15 OR dup_token_ratio > 0.6
+                           OR top_token_ratio > 0.25))
         """,
         "unique_docs": f"""
             SELECT doc_id, lang, n_chars FROM documents
