@@ -638,8 +638,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1"
         ),
         "source_dup_stats": (
-            # CAST: DuckDB sum(int) is HUGEINT; Spark F.sum(int) is LONG
-            "WITH h AS (SELECT doc_id, source, sha256(text) AS text_sha "
+            # CAST: DuckDB sum(int) is HUGEINT; Spark F.sum(int) is LONG.
+            # sha only for docs the dedup policy considers (non-null,
+            # non-whitespace) — empty docs count but are never redundant
+            "WITH h AS (SELECT doc_id, source, "
+            "CASE WHEN text IS NOT NULL AND trim(text) <> '' "
+            "THEN sha256(text) END AS text_sha "
             "FROM documents), "
             "k AS (SELECT text_sha, min(doc_id) AS keeper FROM h GROUP BY 1) "
             "SELECT h.source, count(*) AS n_docs, "

@@ -40,13 +40,20 @@ def source_dup_stats(
     election, map-side partial agg), one on `by` (final rollup, ~|sources|
     rows). No window over the corpus, no collect.
 
-    NULL-text docs: sha2(NULL) is NULL, which joins no keeper — the LEFT
-    join keeps the row with a NULL keeper, so `doc_id != keeper` is NULL
-    and the doc counts as NOT redundant. NULL-text docs stay in n_docs
-    (the denominator) but are never duplicates of each other, matching
-    `exact_dup_edges`' exclusion of null/empty docs from dup semantics.
+    Null/empty parity with the dedup policy: the hash is computed only
+    for docs `exact_dup_edges` would consider (non-null, non-whitespace
+    text — the keep-first policy never deletes empty docs, so counting
+    them as redundant here would attribute deletions that never happen).
+    Excluded docs get a NULL sha, join no keeper through the LEFT join,
+    and count as NOT redundant — but they stay in n_docs (the
+    denominator).
     """
-    hashed = with_content_hash(docs, text_col).select("doc_id", by, "text_sha")
+    nonempty = F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    hashed = docs.select(
+        "doc_id",
+        by,
+        F.when(nonempty, F.sha2(F.col(text_col), 256)).alias("text_sha"),
+    )
     keepers = hashed.groupBy("text_sha").agg(F.min("doc_id").alias("_keeper"))
     redundant = F.when(F.col("doc_id") != F.col("_keeper"), 1).otherwise(0)
     return (

@@ -429,7 +429,23 @@ class SnapshotTable:
                     f"{f.dataType.simpleString()} but the table records "
                     f"{have.simpleString()} — type changes are not supported"
                 )
-        return T.StructType(out).simpleString()
+        merged = T.StructType(out).simpleString()
+        # the manifest schema is read back through the parser on every
+        # read — reject names simpleString can't round-trip (it does not
+        # quote field names, so 'content-type' would poison the table)
+        try:
+            parsed = self._struct(merged)
+            ok = [f.name for f in parsed.fields] == [f.name for f in out]
+        except Exception:
+            ok = False
+        if not ok:
+            bad = [f.name for f in df_schema.fields]
+            raise ValueError(
+                f"merge_schema: the merged schema {merged!r} does not "
+                f"round-trip through the schema parser — a column name in "
+                f"{bad} is not representable; rename it before evolving"
+            )
+        return merged
 
     # ---------- stat-based pruning ----------
 
@@ -454,8 +470,7 @@ class SnapshotTable:
             key_t = dict(zip(keys.schema.names, keys.schema))[key].dataType
             ranges = self.spark.createDataFrame(
                 ranged,
-                schema=__import__("pyspark.sql.types", fromlist=["StructType"])
-                .StructType()
+                schema=T.StructType()
                 .add("gid", "string")
                 .add("lo", key_t)
                 .add("hi", key_t),
@@ -664,7 +679,7 @@ class SnapshotTable:
         `apply-policy --table-root` path: the reference's move-to-Trash
         (src/simages/duplicate_finder.py:286-301) as an atomic snapshot.
         Wall time scales with AFFECTED data, not table group count
-        (tools/soak_table_delete.py; job count asserted in
+        (tools/soak_table_scaling.py; job count asserted in
         tests/test_table.py)."""
         keys = keys_df.select(key).distinct().persist()
         keys.count()
@@ -743,12 +758,18 @@ class SnapshotTable:
             man = self.manifest(base)
             stats = man.get("group_stats") or {}
 
+            _rows_cache: dict[str, int] = {}
+
             def group_rows(g: str) -> int:
                 st = stats.get(g)
                 if st and "rows" in st:
                     return st["rows"]
-                # pre-stats table: harvest from footers (zero Spark jobs)
-                return self._collect_group_stats(g)["rows"]
+                # pre-stats table: harvest from footers (zero Spark jobs);
+                # memoized — the filter, sort key, total and bin-pack loop
+                # would otherwise re-read every footer up to 4× per attempt
+                if g not in _rows_cache:
+                    _rows_cache[g] = self._collect_group_stats(g)["rows"]
+                return _rows_cache[g]
 
             small = sorted(
                 (g for g in man["data_groups"] if group_rows(g) < target_rows),

@@ -105,6 +105,8 @@ def test_source_dup_stats(spark):
             (4, "other", "a"),       # unique
             (5, None, "c"),          # NULL text: counted, never redundant
             (6, None, "c"),
+            (7, "  ", "c"),          # whitespace-only: same — the dedup
+            (8, "  ", "c"),          # policy never deletes empty docs
         ],
         ["doc_id", "text", "source"],
     )
@@ -112,7 +114,7 @@ def test_source_dup_stats(spark):
     assert got["a"]["n_docs"] == 2 and got["a"]["n_dup_docs"] == 0
     assert got["b"]["n_docs"] == 2 and got["b"]["n_dup_docs"] == 2
     assert got["b"]["dup_ratio"] == 1.0 and got["a"]["dup_ratio"] == 0.0
-    assert got["c"]["n_docs"] == 2 and got["c"]["n_dup_docs"] == 0
+    assert got["c"]["n_docs"] == 4 and got["c"]["n_dup_docs"] == 0
 
 
 def test_salting_caps_hot_bucket(spark):

@@ -571,6 +571,22 @@ def test_schema_evolution_rejects_type_change(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge_schema"):
         t.append(extra)
+    # a column name simpleString can't round-trip (unquoted hyphen) is
+    # rejected AT MERGE TIME, not discovered as a parse error on read
+    from pyspark.sql import types as T
+
+    weird = spark.createDataFrame(
+        [(5, "x")],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content-type", T.StringType()),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="round-trip"):
+        t.append(weird, merge_schema=True)
+    assert t.read().count() == 3  # table unharmed
 
 
 def test_schema_evolution_nullability_and_case(spark, tmp_path):
