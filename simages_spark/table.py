@@ -220,10 +220,16 @@ class SnapshotTable:
         if rng is None:
             return True
         gmin, gmax = rng
-        if lo is not None and gmax < lo:
-            return False
-        if hi is not None and gmin > hi:
-            return False
+        try:
+            if lo is not None and gmax < lo:
+                return False
+            if hi is not None and gmin > hi:
+                return False
+        except TypeError:
+            # bound type not ordered against the stat type (e.g. int
+            # bounds on a string column) — no prune; the residual filter
+            # still applies, keeping scan() == read().where()
+            return True
         return True
 
     # ---------- commit machinery ----------
@@ -313,11 +319,18 @@ class SnapshotTable:
         # `append_exactly_once`) are carried forward by EVERY commit so a
         # duplicate-delivery check only ever reads the CURRENT manifest —
         # no history walk, constant cost at any version count
-        sources = (
-            dict(self.manifest(base_version).get("sources") or {})
-            if base_version is not None
-            else {}
-        )
+        try:
+            sources = (
+                dict(self.manifest(base_version).get("sources") or {})
+                if base_version is not None
+                else {}
+            )
+        except FileNotFoundError:
+            # base expired under us (concurrent expire_snapshots): the
+            # link would race a newer head anyway — signal a rebase
+            raise CommitConflict(
+                f"base version {base_version} expired concurrently"
+            ) from None
         if source_update is not None:
             sid, seq = source_update
             sources[sid] = max(int(seq), int(sources.get(sid, -1)))
@@ -351,7 +364,19 @@ class SnapshotTable:
         re-read and rebase."""
         for _ in range(max_retries):
             base = self.current_version()
-            groups, stats, schema = mutate(base)
+            try:
+                groups, stats, schema = mutate(base)
+            except FileNotFoundError:
+                # base manifest expired by a CONCURRENT expire_snapshots
+                # between the version listing and the read — the commit
+                # would have conflicted anyway; rebase onto the new head.
+                # (mutate's own FileNotFoundError for an EMPTY table has
+                # base None / a still-present manifest — re-raise those.)
+                if base is not None and not os.path.exists(
+                    self._manifest_path(base)
+                ):
+                    continue
+                raise
             try:
                 return self._try_commit(base, groups, stats, op, schema, props)
             except CommitConflict:
@@ -447,6 +472,26 @@ class SnapshotTable:
             )
         return merged
 
+    def _assert_recordable_schema(self, df: DataFrame, op: str) -> str:
+        """Every commit path records df.schema.simpleString() in the
+        manifest and every read parses it back — reject frames whose
+        column names don't round-trip (simpleString does not quote names,
+        so 'content-type' would poison later empty-snapshot reads) at
+        WRITE time, with a guided error. Parse is memoized."""
+        schema = df.schema.simpleString()
+        try:
+            parsed = self._struct(schema)
+            ok = [f.name for f in parsed.fields] == df.schema.names
+        except Exception:
+            ok = False
+        if not ok:
+            raise ValueError(
+                f"{op}: schema {schema!r} does not round-trip through the "
+                f"schema parser — a column name in {df.schema.names} is "
+                f"not representable; rename it before writing"
+            )
+        return schema
+
     # ---------- stat-based pruning ----------
 
     def _prune_by_keys(
@@ -467,25 +512,35 @@ class SnapshotTable:
             else:
                 ranged.append((g, rng[0], rng[1]))
         if ranged:
-            key_t = dict(zip(keys.schema.names, keys.schema))[key].dataType
-            ranges = self.spark.createDataFrame(
-                ranged,
-                schema=T.StructType()
-                .add("gid", "string")
-                .add("lo", key_t)
-                .add("hi", key_t),
-            )
-            hit = (
-                keys.join(
-                    F.broadcast(ranges),
-                    (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
+            try:
+                key_t = dict(zip(keys.schema.names, keys.schema))[key].dataType
+                # frame-qualified refs + reserved-ish names: a key column
+                # legally named 'gid'/'lo'/'hi' must not make the join
+                # ambiguous
+                ranges = self.spark.createDataFrame(
+                    ranged,
+                    schema=T.StructType()
+                    .add("_sgt_gid", "string")
+                    .add("_sgt_lo", key_t)
+                    .add("_sgt_hi", key_t),
                 )
-                .select("gid")
-                .distinct()
-                .collect()
-            )
-            hit_g = {r["gid"] for r in hit}
-            affected += [g for g, _, _ in ranged if g in hit_g]
+                hit = (
+                    keys.join(
+                        F.broadcast(ranges),
+                        (keys[key] >= ranges["_sgt_lo"])
+                        & (keys[key] <= ranges["_sgt_hi"]),
+                    )
+                    .select(ranges["_sgt_gid"])
+                    .distinct()
+                    .collect()
+                )
+                hit_g = {r["_sgt_gid"] for r in hit}
+                affected += [g for g, _, _ in ranged if g in hit_g]
+            except Exception:
+                # stats/key type mismatch (e.g. int keys against a string
+                # column's footer stats): pruning must never fail the op —
+                # fall back to treating every ranged group as affected
+                affected += [g for g, _, _ in ranged]
         affected_set = set(affected)
         ordered = [g for g in groups if g in affected_set]
         return ordered, [g for g in groups if g not in affected_set]
@@ -499,8 +554,8 @@ class SnapshotTable:
         additive evolution: new columns in `df` join the recorded schema,
         columns `df` omits stay (its rows read as null there), shared
         columns must keep their exact type — see `_merged_schema`."""
+        schema = self._assert_recordable_schema(df, "append")
         gid, gstats = self._stage_group_with_stats(df)
-        schema = df.schema.simpleString()
 
         def mutate(base):
             if base is None:
@@ -516,7 +571,13 @@ class SnapshotTable:
             stats[gid] = gstats
             return prior + [gid], stats, next_schema
 
-        return self._commit_with_retry(mutate, "append")
+        try:
+            return self._commit_with_retry(mutate, "append")
+        except Exception:
+            # never-referenced staged group (e.g. schema check failed on
+            # rebase, or rebases exhausted) — reclaim now, not at vacuum
+            shutil.rmtree(self._group_path(gid), ignore_errors=True)
+            raise
 
     def append_exactly_once(
         self, df: DataFrame, source_id: str, seq: int, max_retries: int = 10
@@ -532,7 +593,7 @@ class SnapshotTable:
         sees the mark advanced, and skips. Staging happens only after the
         first check passes; a skip after a lost race removes the staged
         group (it was never referenced)."""
-        schema = df.schema.simpleString()
+        schema = self._assert_recordable_schema(df, "append")
         gid = gstats = None
         try:
             for _ in range(max_retries):
@@ -568,11 +629,15 @@ class SnapshotTable:
                 shutil.rmtree(self._group_path(gid), ignore_errors=True)
 
     def overwrite(self, df: DataFrame) -> int:
+        schema = self._assert_recordable_schema(df, "overwrite")
         gid, gstats = self._stage_group_with_stats(df)
-        schema = df.schema.simpleString()
-        return self._commit_with_retry(
-            lambda base: ([gid], {gid: gstats}, schema), "overwrite"
-        )
+        try:
+            return self._commit_with_retry(
+                lambda base: ([gid], {gid: gstats}, schema), "overwrite"
+            )
+        except Exception:
+            shutil.rmtree(self._group_path(gid), ignore_errors=True)
+            raise
 
     def delete_where(self, condition) -> int:
         """DELETE FROM ... WHERE: NULL-predicate rows are KEPT (SQL
@@ -590,8 +655,15 @@ class SnapshotTable:
         carried by reference. Rebase re-evaluates against the new current
         snapshot (no lost updates)."""
         cond_true = F.coalesce(condition, F.lit(False))
+        staged_prev: list[str] = []
 
         def mutate(base):
+            # a rebase re-stages against the new snapshot — reclaim the
+            # previous attempt's never-referenced rewrite group NOW, not
+            # at vacuum (10 retries on a big table would hold 10 copies)
+            for g in staged_prev:
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            staged_prev.clear()
             if base is None:
                 raise FileNotFoundError("delete on an empty table")
             man = self.manifest(base)
@@ -618,11 +690,19 @@ class SnapshotTable:
                     [self._group_path(g) for g in groups if g in affected_set],
                 ).where(~cond_true)
                 new_gid, new_stats = self._stage_group_with_stats(survivors)
+                staged_prev.append(new_gid)
                 keep = keep + [new_gid]
                 stats[new_gid] = new_stats
             return keep, stats, man["schema"]
 
-        return self._commit_with_retry(mutate, "delete")
+        try:
+            v = self._commit_with_retry(mutate, "delete")
+            staged_prev.clear()  # committed — referenced now
+            return v
+        except Exception:
+            for g in staged_prev:
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            raise
 
     def _rewrite_affected(
         self, affected: list[str], keys: DataFrame, key: str, schema: str
@@ -642,14 +722,29 @@ class SnapshotTable:
         `df`'s schema must match the table's (validated — a silent
         schema-divergent manifest is worse than an error). Affected groups
         come from manifest stats (no data file opened for pruned groups);
-        their survivors are rewritten in ONE job."""
-        gid_new, gstats_new = self._stage_group_with_stats(df)
-        schema = df.schema.simpleString()
+        their survivors are rewritten in ONE job.
+
+        Staging order: the new-data group is staged AFTER the (possibly
+        long) rewrite job, so its unreferenced-on-disk window is ~the
+        commit latency, not the whole rewrite — the window a cron
+        `vacuum(min_age_s)` must out-wait (see vacuum's contract)."""
+        schema = self._assert_recordable_schema(df, "upsert")
         keys = df.select(key).distinct().persist()
         keys.count()
+        staged_new: list = []  # lazily staged once; reused across rebases
+        staged_prev: list[str] = []
+
+        def _new_group():
+            if not staged_new:
+                staged_new.extend(self._stage_group_with_stats(df))
+            return staged_new[0], staged_new[1]
 
         def mutate(base):
+            for g in staged_prev:  # previous attempt's rewrite group
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            staged_prev.clear()
             if base is None:
+                gid_new, gstats_new = _new_group()
                 return [gid_new], {gid_new: gstats_new}, schema
             man = self.manifest(base)
             self._check_schema(man, schema, "upsert")
@@ -660,14 +755,26 @@ class SnapshotTable:
                 rg, rstats = self._rewrite_affected(
                     affected, keys, key, man["schema"]
                 )
+                staged_prev.append(rg)
                 groups.append(rg)
                 stats[rg] = rstats
+            gid_new, gstats_new = _new_group()
             groups.append(gid_new)
             stats[gid_new] = gstats_new
             return groups, stats, man["schema"]
 
         try:
-            return self._commit_with_retry(mutate, "upsert")
+            v = self._commit_with_retry(mutate, "upsert")
+            staged_prev.clear()
+            return v
+        except Exception:
+            for g in staged_prev:
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            if staged_new:
+                shutil.rmtree(
+                    self._group_path(staged_new[0]), ignore_errors=True
+                )
+            raise
         finally:
             keys.unpersist()
 
@@ -684,7 +791,12 @@ class SnapshotTable:
         keys = keys_df.select(key).distinct().persist()
         keys.count()
 
+        staged_prev: list[str] = []
+
         def mutate(base):
+            for g in staged_prev:  # previous rebase attempt's rewrite
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            staged_prev.clear()
             if base is None:
                 raise FileNotFoundError("delete on an empty table")
             man = self.manifest(base)
@@ -695,12 +807,19 @@ class SnapshotTable:
                 rg, rstats = self._rewrite_affected(
                     affected, keys, key, man["schema"]
                 )
+                staged_prev.append(rg)
                 groups.append(rg)
                 stats[rg] = rstats
             return groups, stats, man["schema"]
 
         try:
-            return self._commit_with_retry(mutate, "delete")
+            v = self._commit_with_retry(mutate, "delete")
+            staged_prev.clear()
+            return v
+        except Exception:
+            for g in staged_prev:
+                shutil.rmtree(self._group_path(g), ignore_errors=True)
+            raise
         finally:
             keys.unpersist()
 
@@ -749,6 +868,16 @@ class SnapshotTable:
         pack — committing it would resurrect deleted rows — so compaction
         re-plans from the new snapshot (up to `max_attempts`). Concurrent
         APPENDS commute: their new groups are simply carried.
+
+        Sorted-rewrite CONVERGENCE (hourly crons must not rewrite
+        forever): packs are treated as converged when their
+        `sort_by[0]` ranges are pairwise non-overlapping EXCEPT at a
+        shared boundary value — `repartitionByRange` legitimately splits
+        a duplicated first-column value across adjacent packs, and a
+        rewrite cannot improve on that. The check needs footer stats for
+        `sort_by[0]` (see `_STAT_TYPES`): keys without harvestable stats
+        (timestamps, decimals, binary) re-run the rewrite every time —
+        sort on a derived int column (epoch seconds) instead.
         """
         last_reason = "empty table"
         for _ in range(max_attempts):
@@ -863,11 +992,21 @@ class SnapshotTable:
                     shutil.rmtree(self._group_path(gid), ignore_errors=True)
                 last_reason = "a source group was rewritten concurrently"
                 continue  # re-plan against the new snapshot
+            except Exception:
+                # rebases exhausted (or any commit failure): same cleanup
+                # — the packs were never referenced by any manifest
+                for gid, _, _ in staged:
+                    shutil.rmtree(self._group_path(gid), ignore_errors=True)
+                raise
         return {"compacted": False, "reason": last_reason}
 
     @staticmethod
     def _ranges_disjoint(stats: dict, groups: list[str], col: str) -> bool:
-        """Are the groups' [min,max] ranges for `col` pairwise disjoint?
+        """Are the groups' [min,max] ranges for `col` pairwise disjoint,
+        allowing a shared BOUNDARY value (hi == next lo)? A prior sorted
+        rewrite of a duplicated first-sort-column legitimately splits one
+        value across adjacent packs — requiring strict disjointness there
+        would make every maintenance run a full rewrite (non-convergent).
         Groups without stats for the column count as overlapping
         (conservative: the rewrite runs)."""
         ranges = []
@@ -877,7 +1016,7 @@ class SnapshotTable:
                 return False
             ranges.append(tuple(rng))
         ranges.sort()
-        return all(hi < lo2 for (_, hi), (lo2, _) in zip(ranges, ranges[1:]))
+        return all(hi <= lo2 for (_, hi), (lo2, _) in zip(ranges, ranges[1:]))
 
     def _stage_sorted_packs(
         self,
@@ -953,9 +1092,18 @@ class SnapshotTable:
         and never touches groups younger than `min_age_s`: a LIVE writer
         stages its groups BEFORE its manifest exists, so an ungated sweep
         would delete in-flight data and the subsequent commit would
-        reference missing files (round-3 verdict item 2). The default
-        grace of 1h is far above any stage-to-commit latency; pass 0 only
-        when no writer can be active."""
+        reference missing files (round-3 verdict item 2).
+
+        CONTRACT (Iceberg's orphan-file-removal retention contract):
+        `min_age_s` must exceed the longest stage-to-commit latency of
+        any writer — a group goes quiet on disk when its write finishes,
+        then sits unreferenced until the commit. The writers keep that
+        window small (upsert stages its new-data group AFTER the rewrite
+        job; sorted compaction promotes packs from one job just before
+        commit), but bin-pack compaction stages bins sequentially, so on
+        a huge backlog the first bin's idle window is the remaining
+        bins' staging time. Size `min_age_s` above your longest
+        maintenance job; pass 0 only when no writer can be active."""
         referenced: set[str] = set()
         for v in self.versions():
             try:

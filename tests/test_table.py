@@ -614,6 +614,72 @@ def test_schema_evolution_nullability_and_case(spark, tmp_path):
     assert t.read().where(F.col("extra").isNotNull()).count() == 1
 
 
+def test_initial_write_rejects_unrecordable_schema(spark, tmp_path):
+    """A first append/overwrite with a column name simpleString can't
+    round-trip is rejected at write time — otherwise truncate() +
+    read() of the empty snapshot would crash parsing the manifest."""
+    import pytest
+    from pyspark.sql import types as T
+
+    t = SnapshotTable(spark, str(tmp_path / "tw"))
+    weird = spark.createDataFrame(
+        [(1, "x")],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content-type", T.StringType()),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="round-trip"):
+        t.append(weird)
+    with pytest.raises(ValueError, match="round-trip"):
+        t.overwrite(weird)
+    assert t.current_version() is None  # nothing committed
+    assert os.listdir(str(tmp_path / "tw" / "data")) == []  # nothing staged
+
+
+def test_scan_and_key_ops_tolerate_odd_inputs(spark, tmp_path):
+    """(a) scan bounds whose Python type isn't ordered against the stat
+    type must not crash — no prune, residual filter keeps results exact.
+    (b) a key column legally named 'gid' must not make the stats-prune
+    join ambiguous."""
+    t = SnapshotTable(spark, str(tmp_path / "todd"))
+    t.append(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3)], "name string, gid long"
+        )
+    )
+    # (a) int bounds on the string column: stats are str, bounds int
+    got = t.scan([("name", None, None), ("gid", 2, 3)]).collect()
+    assert {r["gid"] for r in got} == {2, 3}
+    rows = t.scan([("name", "a", "b")]).count()
+    assert rows == 2
+    # (b) delete keyed on a column named 'gid'
+    t.delete_matching(spark.createDataFrame([(2,)], "gid long"), key="gid")
+    assert {r["gid"] for r in t.read().collect()} == {1, 3}
+
+
+def test_compact_sort_converges_with_duplicate_first_column(spark, tmp_path):
+    """A multi-column sorted rewrite whose first column has duplicate
+    values spanning pack boundaries must CONVERGE: the second
+    maintenance run is a no-op, not a full-table rewrite."""
+    t = SnapshotTable(spark, str(tmp_path / "tconv"))
+    langs = ["en", "de"]
+    for i in range(6):  # interleaved appends, duplicated lang values
+        t.append(
+            spark.createDataFrame(
+                [(langs[j % 2], i * 100 + j) for j in range(100)],
+                "lang string, doc_id long",
+            )
+        )
+    r1 = t.compact(target_rows=150, sort_by=["lang", "doc_id"])
+    assert r1["compacted"]
+    r2 = t.compact(target_rows=150, sort_by=["lang", "doc_id"])
+    assert not r2["compacted"] and r2["reason"] == "nothing to fold"
+    assert t.read().count() == 600
+
+
 def test_vacuum_sweeps_orphan_tmp_manifests(spark, tmp_path):
     """A crash between tmp-manifest write and the os.link publish leaves
     v*.manifest.json.tmp-* at the root; vacuum reclaims them past the
