@@ -146,6 +146,21 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _read_data_or_none(spark: SparkSession, path: str):
+    """Read a parquet dir, tolerating BOTH a missing path and a dir that
+    exists but holds no data files — a streaming sink creates its output
+    dir at query start, and an all-empty dynamic partition overwrite
+    writes a dir with zero parquet files; a bare spark.read.parquet on
+    either raises (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA). Returns
+    None for 'no data yet' so callers report zeros instead of crashing."""
+    if not _hadoop_path_exists(spark, path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None  # dir exists, no data files → same as missing
+
+
 def process_near_dedup_batch(
     batch_df,
     batch_id: int,
@@ -177,13 +192,16 @@ def process_near_dedup_batch(
     spark = batch_df.sparkSession
     new_sig = compute_signatures(batch_df.select("doc_id", "text"), cfg).persist()
     try:
-        if _hadoop_path_exists(spark, signatures_dir):
-            existing = spark.read.parquet(signatures_dir).where(
-                F.col("batch_id") < batch_id
-            )
+        if not new_sig.head(1):
+            return  # empty micro-batch: writing its partitions would
+            # leave a schema-less dir that wedges the next batch's read
+        existing_all = _read_data_or_none(spark, signatures_dir)
+        if existing_all is not None:
+            existing = existing_all.where(F.col("batch_id") < batch_id)
+            index_all = _read_data_or_none(spark, index_dir)
             existing_index = (
-                spark.read.parquet(index_dir).where(F.col("batch_id") < batch_id)
-                if _hadoop_path_exists(spark, index_dir)
+                index_all.where(F.col("batch_id") < batch_id)
+                if index_all is not None
                 else None
             )
             edges = incremental_dedup_edges(
@@ -475,21 +493,14 @@ def stream_windowed_event_counts(
     restarts), and events arriving below the watermark are DROPPED rather
     than silently mutating an already-emitted window — exactly-once
     finalized windows. This is the streaming-agg shape the dedup metrics
-    feeds use (per-window ingest/dup counts at the stream edge)."""
+    feeds use (per-window ingest/dup counts at the stream edge).
+
+    The aggregation IS the batch twin (`windowed_event_counts`) applied
+    to the watermarked stream — one body, no drift; only the watermark
+    and the sink differ."""
     incoming = spark.readStream.schema(schema).parquet(input_dir)
-    counts = (
-        incoming.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-        .select(
-            F.unix_timestamp(F.col("w.start")).alias("win_start"),
-            "event_type",
-            "n",
-            "total_value",
-        )
+    counts = windowed_event_counts(
+        incoming.withWatermark("ts", watermark_delay), window_duration
     )
     return (
         counts.writeStream.format("parquet")
@@ -687,36 +698,34 @@ def stream_crawl_dedup(
         .start()
     )
     q2.awaitTermination()
-    # first tick on an empty incoming dir: zero batches ran, the file
-    # sink never created lineage_dir — report zeros, don't crash
-    n_lineage = (
-        spark.read.parquet(lineage_dir).count()
-        if _hadoop_path_exists(spark, lineage_dir)
-        else 0
-    )
-    n_keepers = (
-        spark.read.parquet(f"{root}/sig").count()
-        if _hadoop_path_exists(spark, f"{root}/sig")
-        else 0
-    )
-    return {"lineage_rows": n_lineage, "probe_docs": n_keepers}
+    # first tick on an empty incoming dir: zero batches ran, but the
+    # file sink still CREATES lineage_dir at query start (with no data
+    # files) — _read_data_or_none treats that like a missing dir, so an
+    # early cron tick reports zeros instead of crashing on schema
+    # inference
+    lineage = _read_data_or_none(spark, lineage_dir)
+    sig = _read_data_or_none(spark, f"{root}/sig")
+    return {
+        "lineage_rows": lineage.count() if lineage is not None else 0,
+        "probe_docs": sig.count() if sig is not None else 0,
+    }
 
 
 def crawl_edges(spark: SparkSession, root: str):
     """Edge set of the composed crawl: the probe's verified near edges ∪
     the lineage's jaccard-1.0 star edges (copy → keeper) — the streaming
     twin of the batch pipeline's exact-first edge union."""
+    lineage = _read_data_or_none(spark, f"{root}/lineage")
     star = (
-        spark.read.parquet(f"{root}/lineage")
-        .where(F.col("doc_id") != F.col("keeper_id"))
-        .select(
+        lineage.where(F.col("doc_id") != F.col("keeper_id")).select(
             F.col("doc_id").alias("src"),
             F.col("keeper_id").alias("dst"),
             F.lit(1.0).alias("jaccard"),
         )
+        if lineage is not None
+        else spark.createDataFrame([], "src long, dst long, jaccard double")
     )
-    edges_dir = f"{root}/edges"
-    if _hadoop_path_exists(spark, edges_dir):
-        near = spark.read.parquet(edges_dir).select("src", "dst", "jaccard")
-        return near.unionByName(star)
+    near = _read_data_or_none(spark, f"{root}/edges")
+    if near is not None:
+        return near.select("src", "dst", "jaccard").unionByName(star)
     return star

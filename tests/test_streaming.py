@@ -180,6 +180,59 @@ def test_stream_near_dedup(spark, tmp_path):
     assert (20, 12) in edges3
 
 
+def test_stream_crawl_dedup_empty_input_reports_zeros(spark, tmp_path):
+    """A cron tick that fires before any crawl files land must report
+    zeros, not crash: the file sink creates the lineage dir at query
+    start (zero data files), so a bare parquet read of it would raise
+    UNABLE_TO_INFER_SCHEMA. crawl_edges on the fresh root must likewise
+    return an empty edge set."""
+    from simages_spark.streaming import crawl_edges, stream_crawl_dedup
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "crawl")
+    os.makedirs(inp, exist_ok=True)
+
+    out = stream_crawl_dedup(spark, inp, root, CFG)
+    assert out == {"lineage_rows": 0, "probe_docs": 0}
+    edges = crawl_edges(spark, root)
+    assert edges.columns == ["src", "dst", "jaccard"] and edges.count() == 0
+    # and a real batch afterwards proceeds normally
+    base = " ".join(f"word{i}" for i in range(40))
+    _write_batch(spark, inp, [(1, base, "en", "s", 0), (2, base, "en", "s", 0)])
+    out = stream_crawl_dedup(spark, inp, root, CFG)
+    assert out["lineage_rows"] == 2 and out["probe_docs"] == 1
+
+
+def test_near_dedup_batch_tolerates_empty_micro_batch(spark, tmp_path):
+    """An all-empty micro-batch between real ones must not wedge the
+    stream: writing its (empty) partitions would leave a schema-less
+    signatures dir that crashes the next batch's read."""
+    from simages_spark.streaming import process_near_dedup_batch
+
+    root = str(tmp_path / "nd")
+    sig, idx, edg = f"{root}/sig", f"{root}/idx", f"{root}/edges"
+    base = " ".join(f"word{i}" for i in range(40))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    # batch 0 EMPTY on a fresh store: must create nothing
+    process_near_dedup_batch(empty, 0, sig, idx, edg, CFG)
+    assert not os.path.exists(sig)
+    # batch 1 real, batch 2 empty, batch 3 a re-crawl of batch 1's doc
+    process_near_dedup_batch(
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        1, sig, idx, edg, CFG,
+    )
+    process_near_dedup_batch(empty, 2, sig, idx, edg, CFG)
+    process_near_dedup_batch(
+        spark.createDataFrame([(9, base)], "doc_id long, text string"),
+        3, sig, idx, edg, CFG,
+    )
+    got = {
+        (r["src"], r["dst"]) for r in spark.read.parquet(edg).collect()
+    }
+    assert (1, 9) in got or (9, 1) in got
+
+
 def test_stream_crawl_dedup_flood_and_cluster_equality(spark, tmp_path):
     """The composed crawl recipe (exact keep-first upstream → near-dup
     probe downstream): an exact-copy flood reaches the probe exactly
