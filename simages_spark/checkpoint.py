@@ -42,6 +42,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 # on a backend switch or a workdir move (silent full recompute)
 _STORAGE_KNOBS = {"checkpoint_dir", "checkpoint_backend"}
 
+# execution-only knobs with the same contract: provably output-neutral
+# (shuffle_partitions is pure parallelism; cc_checkpoint_every is the CC
+# loop's lineage-truncation cadence; cc_driver_threshold picks between
+# two physical CC strategies whose labels are asserted identical in
+# tests). Hashing them would turn a performance-tuning change into a
+# silent full-pipeline recompute. cc_max_rounds stays IN the hash: if it
+# ever binds, convergence (and thus output) differs.
+_EXECUTION_KNOBS = {
+    "shuffle_partitions",
+    "cc_checkpoint_every",
+    "cc_driver_threshold",
+}
+
 
 def config_fingerprint(cfg) -> str:
     """Stable hash of a dataclass-like config's RESULT-affecting public
@@ -58,12 +71,27 @@ def config_fingerprint(cfg) -> str:
     items = sorted(
         (k, repr(v))
         for k, v in vars(cfg).items()
-        if not k.startswith("_") and k not in _STORAGE_KNOBS
+        if not k.startswith("_")
+        and k not in _STORAGE_KNOBS
+        and k not in _EXECUTION_KNOBS
     )
     return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
 
 
 from simages_spark.table import _newest_mtime  # shared liveness signal
+
+
+def _footer_rows_and_files(path: str) -> tuple[int, int]:
+    """Row count + parquet file count from the footers — the metadata the
+    writer tasks already computed; no Spark job."""
+    import pyarrow.parquet as pq
+
+    rows = files = 0
+    for fname in sorted(os.listdir(path)):
+        if fname.endswith(".parquet"):
+            files += 1
+            rows += pq.ParquetFile(os.path.join(path, fname)).metadata.num_rows
+    return rows, files
 
 
 def _assert_backend_layout(root: str, name: str, backend: str) -> None:
@@ -122,8 +150,10 @@ class CheckpointStore:
         import shutil
 
         now = time.time()
-        for d in glob.glob(self._path(f"{name}.tmp-*")) + glob.glob(
-            self._path(f"{name}.old-*")
+        for d in (
+            glob.glob(self._path(f"{name}.tmp-*"))
+            + glob.glob(self._path(f"{name}.old-*"))
+            + glob.glob(self._meta_path(name) + ".tmp-*")  # crashed meta tmp
         ):
             try:
                 # NEWEST mtime anywhere under the dir, not the top-level
@@ -135,7 +165,13 @@ class CheckpointStore:
                     continue
             except OSError:
                 continue  # already gone (concurrent sweep)
-            shutil.rmtree(d, ignore_errors=True)
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                try:
+                    os.remove(d)
+                except OSError:
+                    pass
 
     def write(
         self,
@@ -145,14 +181,17 @@ class CheckpointStore:
         fingerprint: str | None = None,
     ) -> DataFrame:
         """Snapshot-atomic stage write: the job lands in `name.tmp-<run>`,
-        is swapped into place with directory renames, and the meta file is
-        replaced LAST (atomic os.replace). A kill at any point leaves
-        either the previous snapshot fully readable or (only inside the
-        two-rename swap window) no stage at all — never a half-replaced
-        directory that a resume would read as the stage's output
-        (round-2 verdict item 7; mode("overwrite") deletes the old data
-        before the new job finishes, so a mid-write kill used to destroy
-        the snapshot being replaced)."""
+        the meta content is SEALED from the tmp footers (zero extra Spark
+        jobs), the LIVE meta is unlinked, the data dirs are swapped, and
+        the new meta is installed LAST (atomic os.replace — the commit
+        point; `exists` requires meta AND data). A kill at any point
+        leaves either the previous snapshot fully readable or the stage
+        ABSENT (meta gone → resume recomputes) — never new data described
+        by the old run's meta/fingerprint, and never a half-replaced
+        directory (round-2 verdict item 7). Two concurrent writers of the
+        same stage: one wins, the loser fails with a clear error and its
+        tmp output removed (the table backend serializes instead — use it
+        when same-stage concurrent writers are expected)."""
         # the guard matters MOST here: this path renames-away and
         # rmtree's whatever sits at root/<name> — on a table-backend
         # stage that would destroy its entire version history silently
@@ -172,25 +211,47 @@ class CheckpointStore:
         final = self._path(name)
         old = self._path(f"{name}.old-{run_id}")
         with_lineage.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        out = self.spark.read.parquet(final)
+        # rows from footers, partitions from the file count — no count()
+        # job and no distinct() shuffle; sealed BEFORE any swap so the
+        # published meta always describes exactly this run's data (file
+        # count == producing-partition count for the default write; see
+        # TableCheckpointStore.write for the honest caveat)
+        rows, n_files = _footer_rows_and_files(tmp)
         meta = {
             "name": name,
             "run_id": run_id,
             "fingerprint": fingerprint,
-            "rows": out.count(),
-            "partitions": out.select("part_id").distinct().count(),
+            "rows": rows,
+            "partitions": n_files,
             "written_at_unix": time.time(),
-            "schema": out.schema.simpleString(),
+            "schema": self.spark.read.parquet(tmp).schema.simpleString(),
         }
         meta_tmp = self._meta_path(name) + f".tmp-{run_id}"
         with open(meta_tmp, "w") as f:
             json.dump(meta, f, indent=2)
-        os.replace(meta_tmp, self._meta_path(name))
+        try:
+            # stage goes ABSENT here: a crash below means recompute, never
+            # the previous meta describing this run's data
+            if os.path.exists(self._meta_path(name)):
+                os.unlink(self._meta_path(name))
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(tmp, final)
+        except OSError as e:
+            shutil.rmtree(tmp, ignore_errors=True)
+            try:
+                os.remove(meta_tmp)
+            except OSError:
+                pass
+            raise RuntimeError(
+                f"checkpoint stage '{name}': a concurrent writer swapped "
+                f"the stage mid-commit (lost the rename race) — this "
+                f"writer's output was discarded; re-read the stage or use "
+                f"the 'table' backend, which serializes same-stage writers"
+            ) from e
+        os.replace(meta_tmp, self._meta_path(name))  # commit point
         shutil.rmtree(old, ignore_errors=True)
-        return out.drop("part_id", "stage_run_id")
+        return self.spark.read.parquet(final).drop("part_id", "stage_run_id")
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
@@ -307,11 +368,19 @@ class TableCheckpointStore:
             "written_at_unix": time.time(),
             "schema": schema,
         }
-        t._commit_with_retry(
-            lambda base: ([gid], {gid: gstats}, schema),
-            "checkpoint",
-            props=props,
-        )
+        try:
+            t._commit_with_retry(
+                lambda base: ([gid], {gid: gstats}, schema),
+                "checkpoint",
+                props=props,
+            )
+        except Exception:
+            # never-referenced staged group — reclaim the full stage
+            # output now (nothing vacuums checkpoint tables automatically)
+            import shutil
+
+            shutil.rmtree(t._group_path(gid), ignore_errors=True)
+            raise
         return staged.drop("part_id", "stage_run_id")
 
     def read(self, name: str, version: int | None = None) -> DataFrame:

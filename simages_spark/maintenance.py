@@ -70,6 +70,21 @@ def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # ~one HDFS-block-sized file
+
+
+def _folded_bytes(spark: SparkSession, path: str, parts: list[int]) -> int:
+    """Total on-disk bytes of the partitions about to fold (Hadoop FS
+    content summary — works on any Spark-visible filesystem)."""
+    fs, _, jvm = _fs(spark, path)
+    total = 0
+    for p in parts:
+        jp = jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={p}")
+        if fs.exists(jp):
+            total += fs.getContentSummary(jp).getLength()
+    return total
+
+
 def compact_batch_partitions(
     spark: SparkSession,
     path: str,
@@ -83,7 +98,13 @@ def compact_batch_partitions(
     prior crash remnants so repeated compactions converge in size.
     `layout_col` clusters + sorts the generation's files on that column
     (e.g. `pkey`), so parquet row-group min/max stats prune probe scans
-    within the compacted partition."""
+    within the compacted partition.
+
+    Output file count scales with DATA VOLUME (~TARGET_FILE_BYTES per
+    file from the folded partitions' on-disk size), not with the folded
+    partition count — a 10⁹-row store must not be rewritten into a
+    handful of monster files that cap every later scan's parallelism.
+    `n_output_files` overrides."""
     parts = list_batch_partitions(spark, path)
     # NEVER fold the newest live batch partition: if the stream crashed
     # mid-batch N, batch_id=N holds a PARTIAL write that the retry of N
@@ -110,7 +131,11 @@ def compact_batch_partitions(
     df = df.drop("batch_id")
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
-    n_files = n_output_files or min(32, len(fold))
+    if n_output_files is None:
+        total = _folded_bytes(spark, path, fold)
+        n_files = max(1, min(4096, -(-total // TARGET_FILE_BYTES)))
+    else:
+        n_files = n_output_files
     if layout_col is not None:
         df = df.repartition(n_files, layout_col).sortWithinPartitions(layout_col)
     else:
