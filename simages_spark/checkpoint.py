@@ -45,10 +45,16 @@ _STORAGE_KNOBS = {"checkpoint_dir", "checkpoint_backend"}
 # execution-only knobs with the same contract: provably output-neutral
 # (shuffle_partitions is pure parallelism; cc_checkpoint_every is the CC
 # loop's lineage-truncation cadence; cc_driver_threshold picks between
-# two physical CC strategies whose labels are asserted identical in
-# tests). Hashing them would turn a performance-tuning change into a
-# silent full-pipeline recompute. cc_max_rounds stays IN the hash: if it
-# ever binds, convergence (and thus output) differs.
+# two physical CC strategies). cc_driver_threshold's exclusion RELIES on
+# the two strategies being output-identical — that equivalence is
+# enforced by a dedicated test gate,
+# tests/test_cc.py::test_fast_path_equals_distributed_random_graph
+# (byte-identical labels on a messy random graph); if a change ever makes
+# the paths diverge, that gate fails and the knob must move INTO the
+# hash before the change lands (one visible recompute is the price).
+# Hashing these would turn a performance-tuning change into a silent
+# full-pipeline recompute. cc_max_rounds stays IN the hash: if it ever
+# binds, convergence (and thus output) differs.
 _EXECUTION_KNOBS = {
     "shuffle_partitions",
     "cc_checkpoint_every",
@@ -229,6 +235,17 @@ class CheckpointStore:
         meta_tmp = self._meta_path(name) + f".tmp-{run_id}"
         with open(meta_tmp, "w") as f:
             json.dump(meta, f, indent=2)
+        # snapshot the live meta BEFORE the swap so a failure mid-swap can
+        # reinstall it (round-4 advice item 2: without this, a transient
+        # FS error degraded to stage-absent AND the old data dir — already
+        # renamed to name.old-<run> — was swept as stale after 1h)
+        prev_meta = None
+        if os.path.exists(self._meta_path(name)):
+            try:
+                with open(self._meta_path(name)) as f:
+                    prev_meta = json.load(f)
+            except (OSError, ValueError):
+                prev_meta = None
         try:
             # stage goes ABSENT here: a crash below means recompute, never
             # the previous meta describing this run's data
@@ -243,11 +260,34 @@ class CheckpointStore:
                 os.remove(meta_tmp)
             except OSError:
                 pass
+            # roll back: if OUR rename-away left the stage absent (final
+            # missing, old present), restore the previous snapshot and its
+            # meta so a transient FS error costs nothing. If final EXISTS,
+            # a concurrent writer installed their output — leave it alone.
+            lost_race = os.path.exists(final)
+            if not lost_race and os.path.exists(old):
+                try:
+                    os.rename(old, final)
+                    if prev_meta is not None:
+                        rb_tmp = self._meta_path(name) + f".rb-{run_id}"
+                        with open(rb_tmp, "w") as f:
+                            json.dump(prev_meta, f, indent=2)
+                        os.replace(rb_tmp, self._meta_path(name))
+                except OSError:
+                    pass  # rollback is best-effort; worst case = recompute
+            if lost_race:
+                raise RuntimeError(
+                    f"checkpoint stage '{name}': a concurrent writer "
+                    f"swapped the stage mid-commit (lost the rename race) "
+                    f"— this writer's output was discarded; re-read the "
+                    f"stage or use the 'table' backend, which serializes "
+                    f"same-stage writers"
+                ) from e
             raise RuntimeError(
-                f"checkpoint stage '{name}': a concurrent writer swapped "
-                f"the stage mid-commit (lost the rename race) — this "
-                f"writer's output was discarded; re-read the stage or use "
-                f"the 'table' backend, which serializes same-stage writers"
+                f"checkpoint stage '{name}': filesystem error during the "
+                f"snapshot swap; the previous snapshot was restored where "
+                f"possible and this run's output discarded — retry the "
+                f"stage write"
             ) from e
         os.replace(meta_tmp, self._meta_path(name))  # commit point
         shutil.rmtree(old, ignore_errors=True)

@@ -33,6 +33,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (Spark's legacy parquet timestamp encoding) carries NO
+        # footer min/max statistics, which blinds every stats-pruned path
+        # (SnapshotTable.scan/delete_where) on timestamp columns like
+        # warc_ts; TIMESTAMP_MICROS is the modern type, matches Spark's
+        # internal precision exactly, and gets stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode = driver-only: give the one JVM real memory (the box
         # has 128 GiB); a small heap makes cache+execution churn/GC the

