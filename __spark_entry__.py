@@ -388,11 +388,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection_2d": lambda spark, sf: pca_projection_2d(
             _emb(spark, sf), dim=64
         ),
-        # IVF kNN with the Lloyd-TRAINED codebook (iterative k-means is
-        # not SQL-expressible; deterministic by integer-sum construction —
-        # bit-identical across partitionings, asserted in
-        # tests/test_operators.py — and recall vs exact brute force beats
-        # the lowest-id codebook at every nprobe: BENCH/ivf_recall.json)
+        # IVF kNN with the Lloyd-TRAINED codebook. Deterministic by
+        # integer-sum construction (bit-identical across partitionings,
+        # tests/test_operators.py); recall vs exact brute force beats the
+        # lowest-id codebook at every nprobe (BENCH/ivf_recall.json).
+        # Oracle-checked since round 5: a FIXED Lloyd iteration count is
+        # SQL-expressible (one CTE block per iteration — _IVF_KMEANS_KNN)
         "ivf_kmeans_knn": lambda spark, sf: ivf_knn(
             _emb(spark, sf).where(F.col("vec_id") % 10 == 0),
             _emb(spark, sf),
@@ -581,6 +582,107 @@ _IVF_PAIRS = f"""
     JOIN embeddings a ON a.vec_id = c.src
     JOIN embeddings b ON b.vec_id = c.dst
     WHERE round({_COS}, 6) >= 0.4
+"""
+
+
+def _trained_cent_ctes(n_iters: int = 4) -> str:
+    """CTE chain computing the Lloyd-TRAINED codebook (`cent{n_iters}`)
+    — the SQL replay of operators/ivf.py:ivf_centroids_trained. Each
+    iteration: integer-dot argmax assignment (ties → lower cell), then
+    per-cell per-dim int64 sums with the same round-half-away integer
+    mean `floor((2s + n*sign(s)) / (2n))`; empty cells carry the previous
+    centroid (LEFT JOIN + COALESCE). Fixed iteration count is equivalent
+    to Spark's early-break: a converged codebook is a fixed point of the
+    update, so extra iterations are no-ops. The double-precision floor is
+    exact here: numerators are exact integers ≤ ~1e11, quotients ≥
+    1/(2n) away from the nearest integer unless exactly integral."""
+    parts = [
+        f"qv AS ({_QVEC})",
+        """cent0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 [CAST(floor(embedding[j]*1000000 + 0.5) AS BIGINT)
+                  for j in range(1, 65)] AS qc
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+        )""",
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(f"""scores{t} AS (
+          SELECT q.vec_id, c.cell,
+                 list_sum([q.qv[j] * c.qc[j] for j in range(1, 65)]) AS s
+          FROM qv q, cent{t - 1} c
+        ),
+        assign{t} AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell) AS r
+            FROM scores{t}
+          ) WHERE r = 1
+        ),
+        sums{t} AS (
+          SELECT a.cell, r.range AS dim,
+                 CAST(sum(q.qv[r.range]) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM assign{t} a JOIN qv q USING (vec_id)
+          CROSS JOIN range(1, 65) r
+          GROUP BY 1, 2
+        ),
+        newc{t} AS (
+          SELECT cell,
+                 list(CAST(floor((2.0*s + n*sign(s)) / (2.0*n)) AS BIGINT)
+                      ORDER BY dim) AS qc
+          FROM sums{t} GROUP BY cell
+        ),
+        cent{t} AS (
+          SELECT c.cell, COALESCE(n.qc, c.qc) AS qc
+          FROM cent{t - 1} c LEFT JOIN newc{t} n USING (cell)
+        )""")
+    return ",\n".join(parts)
+
+
+# replayed TRAINED-codebook IVF kNN (round-4 verdict item 4: flips
+# ivf_kmeans_knn from rows-only to hash-checked — Lloyd with a FIXED
+# iteration count IS SQL-expressible as a chained CTE per iteration)
+_IVF_KMEANS_KNN = f"""
+    WITH {_trained_cent_ctes(4)},
+    fscores AS (
+      SELECT q.vec_id, c.cell,
+             list_sum([q.qv[j] * c.qc[j] for j in range(1, 65)]) AS s
+      FROM qv q, cent4 c
+    ),
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS r
+        FROM fscores
+      ) WHERE r = 1
+    ),
+    q_assign AS (
+      SELECT vec_id AS q_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS r
+        FROM fscores WHERE vec_id % 10 = 0
+      ) WHERE r <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id
+      FROM q_assign q JOIN c_assign c USING (cell)
+      WHERE q.q_id != c.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id, round({_COS}, 6) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.q_id
+      JOIN embeddings b ON b.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, rank, cosine FROM (
+      SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
 """
 
 
@@ -963,6 +1065,9 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        # replayed TRAINED-codebook IVF kNN (4 Lloyd iterations as
+        # chained CTEs — see _trained_cent_ctes)
+        "ivf_kmeans_knn": _IVF_KMEANS_KNN,
         "same_time_groups": f"""
             SELECT cluster_id, total FROM (
               SELECT c.cluster_id, count(*) AS total,

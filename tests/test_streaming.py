@@ -288,6 +288,16 @@ def test_stream_crawl_dedup_flood_and_cluster_equality(spark, tmp_path):
     }
     assert loop == scratch and len(loop) >= 35  # flood docs all clustered
 
+    # the incrementally maintained labeling (root/clusters) must equal
+    # both — without re-running CC over the edge history
+    from simages_spark.streaming import crawl_clusters
+
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in crawl_clusters(spark, root).collect()
+    }
+    assert inc == scratch
+
 
 def test_stream_signatures_to_table_exactly_once(spark, tmp_path):
     """Micro-batches land as atomic SnapshotTable versions; a replayed

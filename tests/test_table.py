@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 import threading
 
+import pytest
 from pyspark.sql import functions as F
 
 from simages_spark.table import SnapshotTable
@@ -297,14 +298,14 @@ def test_compact_replans_when_source_rewritten(spark, tmp_path):
     orig = t._try_commit
     fired = {"n": 0}
 
-    def hook(base, groups, stats, op, schema, props=None):
+    def hook(base, groups, stats, op, schema, props=None, **kw):
         if op == "compact" and fired["n"] == 0:
             fired["n"] += 1
             # another writer deletes rows from a compaction source group
             SnapshotTable(spark, root).delete_matching(
                 spark.createDataFrame([(5,), (7,)], "doc_id long"), "doc_id"
             )
-        return orig(base, groups, stats, op, schema, props)
+        return orig(base, groups, stats, op, schema, props, **kw)
 
     t._try_commit = hook
     out = t.compact(target_rows=1000)
@@ -324,11 +325,11 @@ def test_compact_carries_concurrent_append(spark, tmp_path):
     orig = t._try_commit
     fired = {"n": 0}
 
-    def hook(base, groups, stats, op, schema, props=None):
+    def hook(base, groups, stats, op, schema, props=None, **kw):
         if op == "compact" and fired["n"] == 0:
             fired["n"] += 1
             SnapshotTable(spark, root).append(_df(spark, range(500, 510)))
-        return orig(base, groups, stats, op, schema, props)
+        return orig(base, groups, stats, op, schema, props, **kw)
 
     t._try_commit = hook
     out = t.compact(target_rows=1000)
@@ -766,3 +767,183 @@ def test_delete_where_timestamp_range_prunes(spark, tmp_path):
         f.split("/data/")[1].split("/")[0] for f in hits.inputFiles()
     }
     assert len(hit_groups) == 1
+
+
+def test_merge_on_read_delete_vectors(spark, tmp_path):
+    """MOR delete: no group rewritten, reads apply the vector, a
+    re-inserted key survives (version gating), apply_deletes folds the
+    vector away and vacuum reclaims it."""
+    t = SnapshotTable(spark, str(tmp_path / "mor1"))
+    t.append(_df(spark, range(0, 10)))         # group A
+    t.append(_df(spark, range(100, 110)))      # group B
+    before_groups = t.manifest(t.current_version())["data_groups"]
+
+    keys = spark.createDataFrame([(0,), (1,), (100,)], "doc_id long")
+    t.delete_matching(keys, "doc_id", merge_on_read=True)
+    man = t.manifest(t.current_version())
+    assert man["data_groups"] == before_groups  # nothing rewritten
+    assert len(t.pending_delete_vectors()) == 1
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == (set(range(2, 10)) | set(range(101, 110)))
+    # time travel: the pre-delete snapshot still reads in full
+    assert t.read(version=1).count() == 20
+    # scan() is DV-aware too
+    assert t.scan([("doc_id", 0, 5)]).count() == 4  # 2,3,4,5
+
+    # re-insert a deleted key AFTER the DV: the new row must survive
+    t.append(_df(spark, [1], tag="reborn"))
+    rows = {(r["doc_id"], r["text"]) for r in t.read().collect()}
+    assert (1, "reborn1") in rows and (1, "a1") not in rows
+
+    # fold: one rewrite, vectors gone, same visible rows
+    visible = {(r["doc_id"], r["text"]) for r in t.read().collect()}
+    r = t.apply_deletes()
+    assert r["applied"] and r["remaining_dvs"] == 0
+    assert {(r2["doc_id"], r2["text"]) for r2 in t.read().collect()} == visible
+    assert t.apply_deletes() == {
+        "applied": False, "reason": "no pending delete vectors"
+    }
+    # the DV group is unreferenced by the HEAD, but older manifests
+    # still gate on it — only expire + vacuum reclaims it
+    t.expire_snapshots(keep_last=1)
+    t.vacuum(min_age_s=0)
+    assert {(r2["doc_id"], r2["text"]) for r2 in t.read().collect()} == visible
+
+
+def test_mor_delete_not_resurrected_by_cow_rewrite(spark, tmp_path):
+    """A copy-on-write rewrite (delete_where / upsert / compact) of a
+    DV-gated group must apply the vector, not resurrect its rows."""
+    t = SnapshotTable(spark, str(tmp_path / "mor2"))
+    t.append(_df(spark, range(0, 10)))
+    t.delete_matching(
+        spark.createDataFrame([(3,), (4,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    t.delete_where(F.col("doc_id") >= 8)  # rewrites the group
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {0, 1, 2, 5, 6, 7}
+    # the rewrite's new group post-dates the DV, so the vector is dead
+    assert t.pending_delete_vectors() == []
+
+    # compact folds DVs too
+    t2 = SnapshotTable(spark, str(tmp_path / "mor3"))
+    for i in range(3):
+        t2.append(_df(spark, range(i * 10, i * 10 + 10)))
+    t2.delete_matching(
+        spark.createDataFrame([(5,), (15,), (25,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    r = t2.compact(target_rows=1000)
+    assert r["compacted"]
+    assert {x["doc_id"] for x in t2.read().collect()} == (
+        set(range(30)) - {5, 15, 25}
+    )
+    assert t2.pending_delete_vectors() == []
+
+
+def test_mor_vectors_stack_and_gate_by_version(spark, tmp_path):
+    """Several pending vectors apply together; each gates only groups
+    added before it."""
+    t = SnapshotTable(spark, str(tmp_path / "mor4"))
+    t.append(_df(spark, range(0, 5)))                      # v0
+    t.delete_matching(
+        spark.createDataFrame([(2,)], "doc_id long"),
+        "doc_id", merge_on_read=True,
+    )                                                      # v1: gates v0
+    t.append(_df(spark, range(10, 15)))                    # v2
+    t.delete_matching(
+        spark.createDataFrame([(12,), (0,)], "doc_id long"),
+        "doc_id", merge_on_read=True,
+    )                                                      # v3: gates v0+v2
+    assert len(t.pending_delete_vectors()) == 2
+    got = {r["doc_id"] for r in t.read().collect()}
+    assert got == {1, 3, 4, 10, 11, 13, 14}
+    # upsert with pending DVs: replaced + inserted rows correct
+    t.upsert(_df(spark, [1, 20], tag="u"), key="doc_id")
+    rows = {(r["doc_id"], r["text"]) for r in t.read().collect()}
+    assert (1, "u1") in rows and (20, "u20") in rows
+    assert {d for d, _ in rows} == {1, 3, 4, 10, 11, 13, 14, 20}
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """Rename rewrites nothing: old groups read through the name
+    mapping, new appends use the new name natively, stats pruning works
+    on the new name, time travel shows the old name."""
+    t = SnapshotTable(spark, str(tmp_path / "ren1"))
+    t.append(_df(spark, range(0, 10)))
+    t.append(_df(spark, range(100, 110), tag="b"))
+    before_groups = t.manifest(t.current_version())["data_groups"]
+
+    t.rename_column("text", "body")
+    man = t.manifest(t.current_version())
+    assert man["data_groups"] == before_groups  # metadata only
+    df = t.read()
+    assert df.columns == ["doc_id", "body"]
+    rows = {(r["doc_id"], r["body"]) for r in df.collect()}
+    assert (5, "a5") in rows and (105, "b105") in rows
+
+    # time travel: the pre-rename snapshot still reads the old name
+    assert t.read(version=1).columns == ["doc_id", "text"]
+
+    # appends use the new name; the mixed table reads coherently
+    t.append(
+        spark.createDataFrame([(200, "n200")], "doc_id long, body string")
+    )
+    assert t.read().where(F.col("body") == "n200").count() == 1
+
+    # stats were re-keyed: scan on the renamed column still prunes
+    hits = t.scan([("body", "b105", "b105")])
+    assert hits.count() == 1
+    assert len({f.split("/data/")[1].split("/")[0] for f in hits.inputFiles()}) == 1
+
+    # chained rename maps straight to the on-file name
+    t.rename_column("body", "content")
+    rows2 = {(r["doc_id"], r["content"]) for r in t.read().collect()}
+    assert (5, "a5") in rows2 and (200, "n200") in rows2
+
+    # row-level ops through the mapping: delete on the renamed column
+    t.delete_where(F.col("content") == "a5")
+    assert t.read().where(F.col("doc_id") == 5).count() == 0
+
+
+def test_drop_column_and_readd_reads_null(spark, tmp_path):
+    """Drop is metadata-only; re-adding the same name must NOT resurrect
+    stale file data from pre-drop groups (the masked-column rule)."""
+    t = SnapshotTable(spark, str(tmp_path / "drop1"))
+    t.append(_df(spark, range(0, 5)))
+    t.drop_column("text")
+    assert t.read().columns == ["doc_id"]
+    assert t.read(version=0).columns == ["doc_id", "text"]  # time travel
+
+    # re-add the name via merge_schema: old groups read NULL, not 'aN'
+    t.append(
+        spark.createDataFrame([(10, "fresh")], "doc_id long, text string"),
+        merge_schema=True,
+    )
+    rows = {(r["doc_id"], r["text"]) for r in t.read().collect()}
+    assert (10, "fresh") in rows
+    assert all(txt is None for d, txt in rows if d < 5)
+
+    # dropping a renamed column needs no mask (file name differs)
+    t2 = SnapshotTable(spark, str(tmp_path / "drop2"))
+    t2.append(_df(spark, range(0, 3)))
+    t2.rename_column("text", "body")
+    t2.drop_column("body")
+    assert t2.read().columns == ["doc_id"]
+    man = t2.manifest(t2.current_version())
+    assert not man.get("column_mapping")  # mapping fully cleaned
+    with pytest.raises(ValueError):
+        t2.drop_column("doc_id")  # last column
+
+
+def test_rename_validations(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "ren2"))
+    t.append(_df(spark, range(3)))
+    with pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("text", "DOC_ID")  # case-insensitive clash
+    with pytest.raises(ValueError):
+        t.rename_column("text", "bad-name")  # doesn't round-trip

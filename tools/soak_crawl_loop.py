@@ -30,6 +30,7 @@ from simages_spark.operators.connected_components import connected_components  #
 from simages_spark.pipeline import find_duplicates  # noqa: E402
 from simages_spark.session import get_spark  # noqa: E402
 from simages_spark.sources.corpus import generate_pages, mint_doc_ids  # noqa: E402
+from simages_spark.operators.cluster_state import ClusterState  # noqa: E402
 from simages_spark.streaming import process_near_dedup_batch  # noqa: E402
 
 ROOT = "/tmp/soak_crawl"
@@ -48,6 +49,8 @@ def main() -> None:
     )
     per = total // k
     t_loop = 0.0
+    t_inc_total = 0.0
+    state = ClusterState(spark, f"{ROOT}/clusters")
     for b in range(k):
         batch = docs.where(
             (F.col("doc_id") % k + k) % k == b  # deterministic split
@@ -58,7 +61,26 @@ def main() -> None:
         )
         dt = time.time() - t0
         t_loop += dt
-        print(json.dumps({"batch": b, "sec": round(dt, 1)}), flush=True)
+        # round-5 item 7: clusters requested EVERY batch — incremental
+        # update on this batch's edges + a labeling read, never a
+        # from-scratch CC over history
+        t0 = time.time()
+        batch_edges = spark.read.parquet(edg_dir).where(
+            F.col("batch_id") == b
+        ).select("src", "dst")
+        um = state.update(batch_edges, b, source_id="near", cfg=cfg)
+        t_upd = time.time() - t0
+        t0 = time.time()
+        n_clusters_now = state.clusters().count()
+        t_read = time.time() - t0
+        t_inc_total += t_upd + t_read
+        print(json.dumps({
+            "batch": b, "sec": round(dt, 1),
+            "cluster_update_sec": round(t_upd, 1),
+            "cluster_read_sec": round(t_read, 1),
+            "edges": um["edges"], "merges": um["merges"],
+            "labeled_docs": n_clusters_now,
+        }), flush=True)
         if b == k // 2:
             # mid-loop maintenance (between batches — exactly the
             # availableNow slot): fold all batch partitions into one
@@ -91,17 +113,26 @@ def main() -> None:
         loop_clusters.exceptAll(scratch).count()
         + scratch.exceptAll(loop_clusters).count()
     )
+    inc = state.clusters().persist()
+    n_inc = inc.count()
+    inc_mismatches = (
+        inc.exceptAll(loop_clusters).count()
+        + loop_clusters.exceptAll(inc).count()
+    )
     print(json.dumps({
         "total_docs": total,
         "n_batches": k,
         "loop_sec": round(t_loop, 1),
         "loop_docs_per_sec": round(total / t_loop, 1),
         "loop_cc_sec": round(t_cc, 1),
+        "incremental_total_sec": round(t_inc_total, 1),
         "scratch_sec": round(t_scratch, 1),
         "cluster_rows_loop": n_loop,
         "cluster_rows_scratch": n_scratch,
+        "cluster_rows_incremental": n_inc,
         "cluster_mismatches": mismatches,
-        "clusters_equal": mismatches == 0,
+        "incremental_mismatches": inc_mismatches,
+        "clusters_equal": mismatches == 0 and inc_mismatches == 0,
     }), flush=True)
     spark.stop()
 
