@@ -86,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
         "substrings", "report", "apply-policy", "show", "clear", "compact",
+        "table",
     ])
     ap.add_argument("--input", help="corpus parquet path")
     ap.add_argument("--workdir", help="checkpoint root")
@@ -140,6 +141,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="legacy: signatures for EVERY doc and full "
                          "within-group edges, instead of one representative "
                          "per distinct text + linear star edges")
+    ap.add_argument("--delete-keys", default=None,
+                    help="table: parquet path of keys to DELETE from the "
+                         "table at --table-root (one column named --key)")
+    ap.add_argument("--key", default="doc_id",
+                    help="table --delete-keys: the key column name")
+    ap.add_argument("--merge-on-read", action="store_true",
+                    help="table --delete-keys: write an equality-delete "
+                         "vector instead of rewriting groups (KBs instead "
+                         "of GBs for small policy deletes; fold later with "
+                         "--apply-deletes)")
+    ap.add_argument("--apply-deletes", action="store_true",
+                    help="table: fold all pending merge-on-read delete "
+                         "vectors into their groups")
+    ap.add_argument("--rename-column", default=None, metavar="OLD:NEW",
+                    help="table: metadata-only column rename (name "
+                         "mapping — no file rewrite)")
+    ap.add_argument("--drop-column", default=None, metavar="NAME",
+                    help="table: metadata-only column drop")
+    ap.add_argument("--history", action="store_true",
+                    help="table: print the snapshot history")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--checkpoint-backend", choices=["dirs", "table"],
                     default="dirs",
@@ -149,7 +170,23 @@ def main(argv: list[str] | None = None) -> int:
                          "time travel (checkpoint.TableCheckpointStore)")
     args = ap.parse_args(argv)
 
-    if args.command == "compact":
+    if args.command == "table":
+        if not args.table_root:
+            ap.error("table requires --table-root")
+        if not any(
+            (
+                args.delete_keys,
+                args.apply_deletes,
+                args.rename_column,
+                args.drop_column,
+                args.history,
+            )
+        ):
+            ap.error(
+                "table requires an action: --delete-keys / --apply-deletes"
+                " / --rename-column / --drop-column / --history"
+            )
+    elif args.command == "compact":
         if not (args.stream_root or args.crawl_tables):
             ap.error("compact requires --stream-root or --crawl-tables")
         if args.crawl_tables and not any(
@@ -164,6 +201,40 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(f"{args.command} requires --input and --workdir")
 
     spark = get_spark(f"simages_{args.command}", cores=args.cores)
+
+    if args.command == "table":
+        from simages_spark.table import SnapshotTable
+
+        t = SnapshotTable(spark, args.table_root)
+        out = {}
+        if args.delete_keys:
+            keys = spark.read.parquet(args.delete_keys)
+            v = t.delete_matching(
+                keys, args.key, merge_on_read=args.merge_on_read
+            )
+            out["delete"] = {
+                "version": v,
+                "merge_on_read": args.merge_on_read,
+                "pending_dvs": len(t.pending_delete_vectors()),
+            }
+        if args.apply_deletes:
+            out["apply_deletes"] = t.apply_deletes()
+        if args.rename_column:
+            old, _, new = args.rename_column.partition(":")
+            if not old or not new:
+                ap.error("--rename-column expects OLD:NEW")
+            out["rename"] = {"version": t.rename_column(old, new)}
+        if args.drop_column:
+            out["drop"] = {"version": t.drop_column(args.drop_column)}
+        if args.history:
+            out["history"] = [
+                {k: h.get(k) for k in ("version", "op", "parent")}
+                for h in t.history()
+            ]
+        out["rows"] = t.read().count() if t.current_version() is not None else 0
+        print(json.dumps(out))
+        spark.stop()
+        return 0
 
     if args.command == "compact":
         out = {}
@@ -181,6 +252,13 @@ def main(argv: list[str] | None = None) -> int:
                 path = f"{args.stream_root.rstrip('/')}/{name}"
                 if _hadoop_path_exists(spark, path):
                     out[name] = fn(spark, path)
+            # the crawl's incremental cluster state: fold the label
+            # forwarding table into members (same availableNow slot)
+            cl_root = f"{args.stream_root.rstrip('/')}/clusters"
+            if os.path.isdir(cl_root):
+                from simages_spark.operators.cluster_state import ClusterState
+
+                out["clusters"] = ClusterState(spark, cl_root).fold()
         if args.crawl_tables:
             from simages_spark.table import SnapshotTable
 

@@ -250,3 +250,44 @@ def test_schema_columns_parametrized_types():
 
     s = "struct<score:decimal(10,2),name:varchar(20),doc_id:bigint>"
     assert _schema_columns(s) == ["score", "name", "doc_id"]
+
+
+def test_cli_table_maintenance_command(spark, tmp_path, monkeypatch):
+    """The `table` subcommand: merge-on-read delete by key file,
+    apply-deletes fold, metadata rename/drop, history — in-process main()
+    calls against a shared session (cli.get_spark returns the active
+    one; its stop() is stubbed so the fixture session survives)."""
+    from simages_spark.cli import main
+    from simages_spark.table import SnapshotTable
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+        )
+    )
+    keys_path = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(3,), (4,)], "doc_id long").write.parquet(keys_path)
+
+    rc = main([
+        "table", "--table-root", root,
+        "--delete-keys", keys_path, "--key", "doc_id", "--merge-on-read",
+    ])
+    assert rc == 0
+    assert len(t.pending_delete_vectors()) == 1
+    assert t.read().count() == 8
+
+    rc = main([
+        "table", "--table-root", root,
+        "--apply-deletes", "--rename-column", "text:body", "--history",
+    ])
+    assert rc == 0
+    assert t.pending_delete_vectors() == []
+    assert t.read().columns == ["doc_id", "body"]
+
+    rc = main(["table", "--table-root", root, "--drop-column", "body"])
+    assert rc == 0
+    assert t.read().columns == ["doc_id"]
