@@ -650,13 +650,23 @@ _IVF_KMEANS_KNN = f"""
              list_sum([q.qv[j] * c.qc[j] for j in range(1, 65)]) AS s
       FROM qv q, cent4 c
     ),
-    c_assign AS (
+    c_assign_all AS (
       SELECT vec_id, cell FROM (
         SELECT vec_id, cell,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY s DESC, cell) AS r
         FROM fscores
       ) WHERE r = 1
+    ),
+    -- mirror ivf_knn's hot-cell bound (max_list_size=4096, keep lowest
+    -- vec_ids): without it the oracle keeps candidates the operator
+    -- deliberately truncates once any cell exceeds the cap
+    c_assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS lr
+        FROM c_assign_all
+      ) WHERE lr <= 4096
     ),
     q_assign AS (
       SELECT vec_id AS q_id, cell FROM (

@@ -260,14 +260,27 @@ class CheckpointStore:
                 os.remove(meta_tmp)
             except OSError:
                 pass
-            # roll back: if OUR rename-away left the stage absent (final
-            # missing, old present), restore the previous snapshot and its
-            # meta so a transient FS error costs nothing. If final EXISTS,
-            # a concurrent writer installed their output — leave it alone.
-            lost_race = os.path.exists(final)
-            if not lost_race and os.path.exists(old):
+            # roll back. Classify by what survived:
+            #   final+old both present → a concurrent writer installed
+            #     their output AFTER our successful rename-away (true lost
+            #     race) — leave theirs alone.
+            #   final present, old absent → our rename(final, old) ITSELF
+            #     failed (transient FS error): the data never moved, only
+            #     the meta was unlinked — reinstall the meta and the stage
+            #     costs nothing.
+            #   final absent, old present → our rename-away succeeded and
+            #     the install failed: rename the snapshot back + meta.
+            # (`final exists` alone is NOT a race signal: a failed
+            # rename(final, old) leaves final in place too, and treating
+            # that as a race both skipped the restore and blamed a
+            # nonexistent concurrent writer.)
+            final_exists = os.path.exists(final)
+            old_exists = os.path.exists(old)
+            lost_race = final_exists and old_exists
+            if not lost_race and (final_exists or old_exists):
                 try:
-                    os.rename(old, final)
+                    if not final_exists:
+                        os.rename(old, final)
                     if prev_meta is not None:
                         rb_tmp = self._meta_path(name) + f".rb-{run_id}"
                         with open(rb_tmp, "w") as f:

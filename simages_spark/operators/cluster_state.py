@@ -52,6 +52,9 @@ repairs before any later tick runs (sequential streams).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from simages_spark.config import DedupConfig
@@ -105,6 +108,37 @@ class ClusterState:
             m["doc_id"],
             F.coalesce(f["label"], m["label"]).alias("cluster_id"),
         )
+
+    # ---------- fold progress ----------
+
+    def watermark(self, source_id: str) -> int:
+        """Highest batch_id of `source_id` KNOWN folded into the labeling
+        (-1 = none). Maintained by callers via `set_watermark` after each
+        `update`; streaming.stream_crawl_dedup uses it to catch up edge
+        batches a checkpoint already consumed before cluster maintenance
+        existed (or while it was disabled) — without it those historical
+        near edges are silently missing and the documented
+        crawl_clusters == connected_components(crawl_edges) equality
+        breaks. Lagging is always safe: re-folding an already-folded
+        batch is idempotent (pre-batch-view resolution + exactly-once
+        appends)."""
+        path = os.path.join(self.root, f"progress_{source_id}.json")
+        try:
+            with open(path) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def set_watermark(self, source_id: str, batch_id: int) -> None:
+        """Advance (never regress) the folded-batch watermark."""
+        cur = self.watermark(source_id)
+        if batch_id <= cur:
+            return
+        path = os.path.join(self.root, f"progress_{source_id}.json")
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"source_id": source_id, "batch_id": int(batch_id)}, f)
+        os.replace(tmp, path)
 
     # ---------- tick update ----------
 

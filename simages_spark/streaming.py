@@ -716,6 +716,38 @@ def stream_crawl_dedup(
         from simages_spark.operators.cluster_state import ClusterState
 
         state = ClusterState(spark, f"{root}/clusters")
+        # catch-up (upgrade/toggle path): edge batches ckpt_near already
+        # consumed before cluster maintenance existed — or while it was
+        # disabled — were never folded into the labeling; without this,
+        # the incremental clusters silently miss those historical near
+        # edges while the star stage (fresh ckpt_star replays all
+        # lineage) is complete, breaking the documented
+        # crawl_clusters == connected_components(crawl_edges) equality.
+        # Fold them ascending before the stream appends newer batches;
+        # each fold is idempotent, so a crash mid-catch-up heals here on
+        # the next call. One-time O(missed history) migration cost — the
+        # same work the stateless fallback pays per read, paid once.
+        hist_edges = _read_data_or_none(spark, f"{root}/edges")
+        if hist_edges is not None:
+            wm = state.watermark("near")
+            missed = [
+                r["batch_id"]
+                for r in hist_edges.select("batch_id")
+                .where(F.col("batch_id") > F.lit(wm))
+                .distinct()
+                .sort("batch_id")
+                .collect()
+            ]
+            for b in missed:
+                state.update(
+                    hist_edges.where(F.col("batch_id") == b).select(
+                        "src", "dst"
+                    ),
+                    b,
+                    source_id="near",
+                    cfg=cfg,
+                )
+                state.set_watermark("near", b)
 
     def process(batch_df, batch_id: int) -> None:
         process_near_dedup_batch(
@@ -743,6 +775,9 @@ def stream_crawl_dedup(
                     source_id="near",
                     cfg=cfg,
                 )
+                # fold-progress marker: what the catch-up path above
+                # consults on the next stream start
+                state.set_watermark("near", batch_id)
 
     q2 = (
         keepers.writeStream.foreachBatch(process)

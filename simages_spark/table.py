@@ -73,6 +73,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -123,6 +124,40 @@ def _stat_encode(v):
         return v.strftime("%Y-%m-%d")
     if isinstance(v, _STAT_TYPES):
         return v
+    return None
+
+
+# a string is treated as a temporal encoding only when it leads with an
+# ISO date — guards _temporal_parse against Python's fromisoformat
+# accepting compact forms ('20240101') that a genuine string column
+# might legitimately contain with a different intended ordering
+_TEMPORAL_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].*)?$")
+
+
+def _temporal_parse(v):
+    """Best-effort chronological key for a stat/predicate bound: datetimes
+    and dates map to naive-UTC datetimes (a date → midnight, matching
+    Spark's date→timestamp cast in comparisons), and strings that look
+    like `_stat_encode` output (or ISO timestamps generally) are parsed
+    back. None = not temporal. This is what lets `_range_hits` compare a
+    DATE or string literal against fixed-width timestamp-encoded stats
+    CHRONOLOGICALLY — lexicographic comparison across the two widths
+    ('2024-01-01' vs '2024-01-01T00:00:00.000000') would prune groups
+    that contain TRUE rows (silently skipping deletes)."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, str) and _TEMPORAL_RE.match(v):
+        try:
+            d = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        if d.tzinfo is not None:
+            d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return d
     return None
 
 
@@ -321,17 +356,12 @@ class SnapshotTable:
         # (observability + the soak's inputFiles-style assertion)
         self.last_delete_metrics: dict | None = None
         # INT96 timestamps (Spark's legacy parquet default) carry no
-        # footer stats, so a table created from a vanilla session could
-        # never prune on warc_ts-style columns; pin the modern type for
-        # this session's writes (runtime conf — micros is Spark's exact
-        # internal precision, no data change)
-        try:
-            spark.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            )
-        except Exception:
-            pass  # conf locked down (e.g. connect server policy) — stats
-            # for timestamp columns are then simply absent (no prune)
+        # footer stats, so a table written from a session that doesn't
+        # pin spark.sql.parquet.outputTimestampType (session.get_spark
+        # sets TIMESTAMP_MICROS at build) never prunes on warc_ts-style
+        # columns — conservative, never wrong. Deliberately NOT set here:
+        # a table handle must not mutate session-global write behavior
+        # for unrelated writers as a constructor side effect.
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     # ---------- snapshot discovery ----------
@@ -443,8 +473,25 @@ class SnapshotTable:
         if rng is None:
             return True
         gmin, gmax = rng
-        # datetime/date bounds meet string-encoded datetime stats in the
-        # same fixed-width encoding (see _stat_encode)
+        # temporal stats (string-encoded by _stat_encode) must meet
+        # temporal bounds CHRONOLOGICALLY: a date/short-string bound
+        # compared lexicographically against the fixed-width timestamp
+        # encoding would prune groups containing TRUE rows. If both stat
+        # endpoints parse as temporal, every present bound must too —
+        # otherwise no prune (the residual filter is the truth).
+        tmin, tmax = _temporal_parse(gmin), _temporal_parse(gmax)
+        if tmin is not None and tmax is not None:
+            tlo = _temporal_parse(lo) if lo is not None else None
+            thi = _temporal_parse(hi) if hi is not None else None
+            if (lo is not None and tlo is None) or (
+                hi is not None and thi is None
+            ):
+                return True  # bound not orderable against temporal stats
+            if tlo is not None and tmax < tlo:
+                return False
+            if thi is not None and tmin > thi:
+                return False
+            return True
         if isinstance(lo, (datetime.datetime, datetime.date)):
             lo = _stat_encode(lo)
         if isinstance(hi, (datetime.datetime, datetime.date)):
@@ -570,8 +617,9 @@ class SnapshotTable:
         # version (no DV predates them, so gating stays correct).
         base_added = base_man.get("group_added") or {}
         legacy_default = base_version if base_version is not None else 0
+        base_set = set(base_man.get("data_groups") or [])
         manifest["group_added"] = {
-            g: int(base_added.get(g, legacy_default)) if g in set(base_man.get("data_groups") or []) else next_v
+            g: int(base_added.get(g, legacy_default)) if g in base_set else next_v
             for g in groups
         }
         # merge-on-read equality-delete vectors: carried by every commit
@@ -738,6 +786,13 @@ class SnapshotTable:
             # file-side schema: renamed fields read under their on-file
             # names; masked fields (dropped then re-added later) are not
             # read at all — their stale file data must stay dead
+            # on-file names already claimed by renames: a CURRENT column
+            # re-added under such a name (rename a→b, then add new 'a')
+            # must read NULL from these groups — their file column 'a'
+            # holds the RENAMED column's data, and reading it would both
+            # resurrect stale values and duplicate the field in the scan
+            # schema
+            claimed = set(renames.values())
             file_fields, projection = [], []
             for f in cur.fields:
                 if f.name in renames:
@@ -745,7 +800,7 @@ class SnapshotTable:
                         T.StructField(renames[f.name], f.dataType, True)
                     )
                     projection.append(F.col(renames[f.name]).alias(f.name))
-                elif f.name in masked:
+                elif f.name in masked or f.name in claimed:
                     projection.append(
                         F.lit(None).cast(f.dataType).alias(f.name)
                     )
@@ -783,7 +838,11 @@ class SnapshotTable:
         strata: dict[frozenset, list[str]] = {}
         for g in gids:
             app = frozenset(
-                (dv["gid"], dv["key"])
+                # file_key: the key column's name IN THE DV FILES — differs
+                # from dv["key"] after rename_column rewrote the entry to
+                # the current name (metadata-only rename never rewrites
+                # the staged key parquet)
+                (dv["gid"], dv["key"], dv.get("file_key", dv["key"]))
                 for dv in dvs
                 if int(added.get(g, 0)) < int(dv["version"])
             )
@@ -791,13 +850,13 @@ class SnapshotTable:
         parts = []
         for app, gs in strata.items():
             df = self._read_groups_mapped(man, gs)
-            by_key: dict[str, list[str]] = {}
-            for dv_gid, key in sorted(app):
-                by_key.setdefault(key, []).append(dv_gid)
-            for key, dv_gids in by_key.items():
+            by_key: dict[tuple[str, str], list[str]] = {}
+            for dv_gid, key, fkey in sorted(app):
+                by_key.setdefault((key, fkey), []).append(dv_gid)
+            for (key, fkey), dv_gids in by_key.items():
                 keys = self.spark.read.parquet(
                     *[self._group_path(dg) for dg in dv_gids]
-                ).select(key)
+                ).select(F.col(fkey).alias(key))
                 df = df.join(keys, key, "left_anti")
             parts.append(df)
         out = parts[0]
@@ -1366,7 +1425,8 @@ class SnapshotTable:
                     int(added.get(g, 0)) < int(dv["version"]) for dv in dvs
                 )
             ]
-            keep = [g for g in groups if g not in set(affected)]
+            affected_set = set(affected)
+            keep = [g for g in groups if g not in affected_set]
             stats = self._carried_stats(man, keep)
             if affected:
                 survivors = self._read_snapshot(man, affected)
@@ -1463,7 +1523,25 @@ class SnapshotTable:
                     st["columns"] = dict(st["columns"])
                     st["columns"][new] = st["columns"].pop(old)
                 stats[g] = st
-            return groups, stats, schema2, None, cm
+            # pending merge-on-read delete vectors keyed on the renamed
+            # column follow it: the entry's CURRENT name becomes `new`
+            # while `file_key` keeps pointing at the name inside the
+            # staged DV parquet (which a metadata-only rename never
+            # rewrites) — without this, every read after the rename
+            # crashes on an unresolvable anti-join column and the table
+            # is wedged (apply_deletes reads through the same path).
+            dv_update = None
+            dvs = man.get("delete_vectors") or []
+            if any(dv["key"] == old for dv in dvs):
+                dvs2 = []
+                for dv in dvs:
+                    if dv["key"] == old:
+                        dv = dict(dv)
+                        dv["file_key"] = dv.get("file_key", dv["key"])
+                        dv["key"] = new
+                    dvs2.append(dv)
+                dv_update = {"set": dvs2}
+            return groups, stats, schema2, dv_update, cm
 
         return self._commit_with_retry(mutate, "rename-column")
 
@@ -1488,6 +1566,17 @@ class SnapshotTable:
                 )
             if len(cur.fields) == 1:
                 raise ValueError("drop_column: cannot drop the only column")
+            if any(
+                dv["key"] == name
+                for dv in man.get("delete_vectors") or []
+            ):
+                # equality deletes on a column that no longer exists are
+                # unapplicable — dropping anyway would wedge every read
+                raise ValueError(
+                    f"drop_column: {name!r} is the key of pending "
+                    f"merge-on-read delete vectors — run apply_deletes() "
+                    f"first"
+                )
             schema2 = T.StructType(
                 [f for f in cur.fields if f.name != name]
             ).simpleString()
@@ -1498,11 +1587,16 @@ class SnapshotTable:
                 m = dict(base_cm.get(g) or {})
                 renames = dict(m.get("renames") or {})
                 if name in renames:
-                    # the on-file column never carried this name: dropping
-                    # the rename entry is enough — a re-added `name`
-                    # matches nothing in the files and reads null
-                    renames.pop(name)
+                    # the files carry this column under its ORIGINAL name
+                    # (renames[name]) — that literal on-file name is what
+                    # must be masked, or re-adding it later resurrects the
+                    # stale file data. A re-added `name` itself matches
+                    # nothing in the files and reads null without a mask.
+                    file_name = renames.pop(name)
                     m["renames"] = renames
+                    m["masked"] = sorted(
+                        set(m.get("masked") or []) | {file_name}
+                    )
                 else:
                     m["masked"] = sorted(set(m.get("masked") or []) | {name})
                 if m.get("renames") or m.get("masked"):

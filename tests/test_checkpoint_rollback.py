@@ -76,3 +76,42 @@ def test_read_data_or_none_only_masks_no_data(spark, tmp_path):
         # schema inference may be lazy for a single file — force it
         if df is not None:
             df.collect()
+
+
+def test_rename_away_failure_restores_meta_not_blamed_on_race(
+    spark, tmp_path, monkeypatch
+):
+    """If the FIRST swap rename — final → .old-<run> — fails, the data
+    never moved; only the meta was unlinked. The rollback must reinstall
+    the meta (stage stays present, zero recompute) and must NOT
+    misclassify the intact `final` as a concurrent writer's install
+    (which skipped the restore AND raised the bogus race error)."""
+    store = CheckpointStore(spark, str(tmp_path / "ckpt2"))
+    df1 = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    store.write("stage", df1, fingerprint="fp1")
+    meta1 = store.metrics("stage")
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if str(src).endswith(os.sep + "stage") and ".old-" in str(dst):
+            raise OSError(5, "injected transient I/O error")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    df2 = spark.createDataFrame([(2, "b")], ["doc_id", "text"])
+    with pytest.raises(RuntimeError) as ei:
+        store.write("stage", df2, fingerprint="fp2")
+    monkeypatch.undo()
+    assert "concurrent writer" not in str(ei.value)
+
+    # stage still present with the ORIGINAL snapshot and meta — no
+    # recompute needed
+    assert store.exists("stage")
+    rows = {(r["doc_id"], r["text"]) for r in store.read("stage").collect()}
+    assert rows == {(1, "a")}
+    assert store.metrics("stage")["run_id"] == meta1["run_id"]
+
+    # retry succeeds
+    store.write("stage", df2, fingerprint="fp2")
+    assert store.read("stage").count() == 1

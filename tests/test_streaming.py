@@ -485,3 +485,72 @@ def test_stream_to_table_checkpoint_rebuild_not_skipped(spark, tmp_path):
     ]
     assert len(incarnations) == 2  # two distinct query ids, both at seq 0
     assert all(man["sources"][s] == 0 for s in incarnations)
+
+
+def test_crawl_cluster_maintenance_catches_up_on_preexisting_history(
+    spark, tmp_path
+):
+    """Upgrade/toggle path (round-5 review finding): a crawl root whose
+    near-edge batches were already consumed by ckpt_near BEFORE cluster
+    maintenance was enabled must fold that history on the next call —
+    otherwise crawl_clusters silently misses historical near edges while
+    the star stage replays all lineage, splitting clusters the stateless
+    connected_components(crawl_edges) fallback merges."""
+    from pyspark.sql import functions as F
+
+    from simages_spark.operators.connected_components import (
+        connected_components,
+    )
+    from simages_spark.streaming import (
+        crawl_clusters,
+        crawl_edges,
+        stream_crawl_dedup,
+    )
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "crawl")
+    os.makedirs(inp, exist_ok=True)
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(("X" if i == 7 else f"tok{i}") for i in range(40))
+    near2 = " ".join(("Y" if i == 31 else f"tok{i}") for i in range(40))
+
+    # tick 1 WITHOUT maintenance: ckpt_near advances past a batch whose
+    # near edge (1↔2) never reaches any cluster state
+    _write_batch(spark, inp, [
+        (1, base, "en", "s", 0), (2, near, "en", "s", 0),
+        (9, "an unrelated page entirely", "en", "s", 0),
+    ])
+    stream_crawl_dedup(spark, inp, root, CFG, maintain_clusters=False)
+    assert not os.path.exists(f"{root}/clusters/members")
+
+    # tick 2 WITH maintenance: the catch-up must fold batch 1's edges
+    # before processing the new batch (3 joins the same cluster)
+    _write_batch(spark, inp, [(3, near2, "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG, maintain_clusters=True)
+
+    scratch = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(crawl_edges(spark, root), CFG).collect()
+    }
+    inc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in crawl_clusters(spark, root).collect()
+    }
+    assert inc == scratch
+    assert {(1, 1), (2, 1), (3, 1)} <= inc
+
+    # a third tick (no new files) is a no-op: watermark prevents refolds
+    from simages_spark.operators.cluster_state import ClusterState
+
+    wm_before = ClusterState(spark, f"{root}/clusters").watermark("near")
+    stream_crawl_dedup(spark, inp, root, CFG, maintain_clusters=True)
+    assert (
+        ClusterState(spark, f"{root}/clusters").watermark("near")
+        == wm_before
+    )
+    inc2 = {
+        (r["doc_id"], r["cluster_id"])
+        for r in crawl_clusters(spark, root).collect()
+    }
+    assert inc2 == scratch

@@ -926,16 +926,43 @@ def test_drop_column_and_readd_reads_null(spark, tmp_path):
     assert (10, "fresh") in rows
     assert all(txt is None for d, txt in rows if d < 5)
 
-    # dropping a renamed column needs no mask (file name differs)
+    # dropping a renamed column must mask the ON-FILE name: re-adding
+    # the original name would otherwise resurrect the stale file data
     t2 = SnapshotTable(spark, str(tmp_path / "drop2"))
     t2.append(_df(spark, range(0, 3)))
     t2.rename_column("text", "body")
     t2.drop_column("body")
     assert t2.read().columns == ["doc_id"]
-    man = t2.manifest(t2.current_version())
-    assert not man.get("column_mapping")  # mapping fully cleaned
+    t2.append(
+        spark.createDataFrame([(10, "fresh")], "doc_id long, text string"),
+        merge_schema=True,
+    )
+    rows2 = {(r["doc_id"], r["text"]) for r in t2.read().collect()}
+    assert (10, "fresh") in rows2
+    assert all(txt is None for d, txt in rows2 if d < 3)  # not 'aN'
+    t2.drop_column("text")  # back to one column
     with pytest.raises(ValueError):
         t2.drop_column("doc_id")  # last column
+
+
+def test_readd_of_renames_onfile_name_reads_null(spark, tmp_path):
+    """rename a→b then add a NEW column named a (merge_schema): old
+    groups' file column a holds b's data and must read NULL for the new
+    a — not resurrect values or duplicate the scan field."""
+    t = SnapshotTable(spark, str(tmp_path / "ren3"))
+    t.append(_df(spark, range(0, 3)))
+    t.rename_column("text", "body")
+    t.append(
+        spark.createDataFrame(
+            [(10, "b10", "t10")], "doc_id long, body string, text string"
+        ),
+        merge_schema=True,
+    )
+    rows = {(r["doc_id"], r["body"], r["text"]) for r in t.read().collect()}
+    assert (10, "b10", "t10") in rows
+    # old rows: body reads the renamed data, the re-added text reads NULL
+    assert (1, "a1", None) in rows
+    assert {txt for d, _, txt in rows if d < 3} == {None}
 
 
 def test_rename_validations(spark, tmp_path):
@@ -947,3 +974,74 @@ def test_rename_validations(spark, tmp_path):
         t.rename_column("text", "DOC_ID")  # case-insensitive clash
     with pytest.raises(ValueError):
         t.rename_column("text", "bad-name")  # doesn't round-trip
+
+
+def test_rename_with_pending_mor_dv_keeps_table_readable(spark, tmp_path):
+    """Renaming the key column of pending merge-on-read delete vectors
+    must follow the rename (entry rewritten to the current name, file_key
+    kept for the staged DV parquet) — previously every read/apply path
+    crashed on an unresolvable anti-join column, wedging the table."""
+    t = SnapshotTable(spark, str(tmp_path / "mordv1"))
+    t.append(_df(spark, range(0, 10)))
+    t.delete_matching(
+        spark.createDataFrame([(3,), (4,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    t.rename_column("doc_id", "document_id")
+    got = {r["document_id"] for r in t.read().collect()}
+    assert got == set(range(10)) - {3, 4}
+    # scan through the renamed DV key
+    assert t.scan([("document_id", 0, 5)]).count() == 4  # 0,1,2,5
+    # apply_deletes reads through the same path and folds the DV away
+    r = t.apply_deletes()
+    assert r["applied"] and r["remaining_dvs"] == 0
+    assert {x["document_id"] for x in t.read().collect()} == got
+
+    # dropping a pending DV's key column is refused with guidance
+    t2 = SnapshotTable(spark, str(tmp_path / "mordv2"))
+    t2.append(_df(spark, range(0, 5)))
+    t2.delete_matching(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    with pytest.raises(ValueError, match="apply_deletes"):
+        t2.drop_column("doc_id")
+    t2.apply_deletes()
+    t2.drop_column("doc_id")  # now fine
+    assert t2.read().columns == ["text"]
+
+
+def test_stats_prune_date_and_string_bounds_on_timestamp(spark, tmp_path):
+    """A DATE or string literal against a timestamp column must prune
+    CHRONOLOGICALLY: lexicographic comparison of '2024-01-01' against the
+    fixed-width '2024-01-01T00:00:00.000000' stat encoding pruned groups
+    containing TRUE rows — delete_where silently left matching rows and
+    scan() missed them."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "tsenc"))
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+             (2, dt.datetime(2024, 1, 1, 12, 0, 0))],
+            "doc_id long, warc_ts timestamp",
+        )
+    )
+    # date literal: Spark casts to midnight timestamp → row 1 matches
+    t.delete_where(F.col("warc_ts") <= F.lit(dt.date(2024, 1, 1)))
+    assert {r["doc_id"] for r in t.read().collect()} == {2}
+    # string literal bound through scan(): chronological, not lexicographic
+    t2 = SnapshotTable(spark, str(tmp_path / "tsenc2"))
+    t2.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 0, 0)),
+             (2, dt.datetime(2024, 2, 1, 0, 0, 0))],
+            "doc_id long, warc_ts timestamp",
+        )
+    )
+    assert t2.scan([("warc_ts", None, dt.date(2024, 1, 1))]).count() == 1
+    assert (
+        t2.scan([("warc_ts", dt.datetime(2024, 1, 15), None)]).count() == 1
+    )
