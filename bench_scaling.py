@@ -51,6 +51,10 @@ LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "2,8").split(",")
 )
 
+# best-of-N reps per level; raise when the host's steal bursts leave the
+# rep sequence still descending at 3 (min is the estimator, see BASELINE.md)
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
 
 def _pin(cmd: list[str], cores: int) -> list[str]:
     # taskset pins the whole JVM (GC, shuffle, python workers) to N CPUs —
@@ -63,7 +67,7 @@ def _pin(cmd: list[str], cores: int) -> list[str]:
 
 def _launch_plain(cores: int) -> tuple[list[str], dict, str]:
     cmd = [sys.executable, os.path.abspath(__file__), "--cores", str(cores)]
-    return _pin(cmd, cores), dict(os.environ), REPO
+    return _pin(cmd, cores), dict(os.environ), REPO  # REPS flows via env
 
 
 def _launch_submit(cores: int, zip_path: str) -> tuple[list[str], dict, str]:
@@ -85,6 +89,7 @@ def _launch_submit(cores: int, zip_path: str) -> tuple[list[str], dict, str]:
         os.path.join(REPO, "tools", "submit_scaling_driver.py"),
         "--cores", str(cores),
         "--n-docs", str(N_DOCS),
+        "--reps", str(REPS),
     ]
     env = dict(os.environ)
     # the proof is that the zip ALONE provides the package: no repo on the
@@ -104,7 +109,7 @@ def main() -> None:
     if args.cores:
         from simages_spark.benchmarks import measure_scaling
 
-        print("RESULT " + json.dumps(measure_scaling(args.cores, N_DOCS)))
+        print("RESULT " + json.dumps(measure_scaling(args.cores, N_DOCS, REPS)))
         return
 
     zip_path = None
