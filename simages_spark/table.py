@@ -115,23 +115,38 @@ def _stat_encode(v):
     no special casing beyond encoding both sides the same way. Returns
     None for unharvestable types."""
     if isinstance(v, bool) or v is None:
-        return v if v is None else v
+        return v
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        # explicit %04d year padding: strftime("%Y") emits UNPADDED years
+        # below 1000 on this platform ("99-..."), which would break the
+        # fixed-width ⇒ lex==chrono invariant AND the strict temporal
+        # pattern, silently mis-pruning groups holding bogus-ancient
+        # timestamps (a common date-parse artifact in crawl data)
+        return (
+            f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
+            f"T{v.hour:02d}:{v.minute:02d}:{v.second:02d}.{v.microsecond:06d}"
+        )
     if isinstance(v, datetime.date):
-        return v.strftime("%Y-%m-%d")
+        return f"{v.year:04d}-{v.month:02d}-{v.day:02d}"
     if isinstance(v, _STAT_TYPES):
         return v
     return None
 
 
-# a string is treated as a temporal encoding only when it leads with an
-# ISO date — guards _temporal_parse against Python's fromisoformat
-# accepting compact forms ('20240101') that a genuine string column
-# might legitimately contain with a different intended ordering
-_TEMPORAL_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].*)?$")
+# a string is treated as a temporal encoding ONLY when it exactly
+# matches one of `_stat_encode`'s two fixed-width output shapes. Looser
+# matching (e.g. accepting space-separated ISO forms) would route a
+# GENUINE string column's stats through the chronological branch, which
+# can disagree with Spark's lexicographic string comparison across
+# separators (' ' < 'T') and silently prune groups holding TRUE rows.
+# Within the strict shapes the orders can only differ across the
+# date/datetime widths, and there a chronological prune always implies
+# the lexicographic one (a 'YYYY-MM-DD' sorts before every
+# 'YYYY-MM-DDT…' of the same date) — so the chrono branch stays safe
+# even for a genuine string column whose values happen to match.
+_TEMPORAL_RE = re.compile(r"^\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}\.\d{6})?$")
 
 
 def _temporal_parse(v):
@@ -618,8 +633,19 @@ class SnapshotTable:
         base_added = base_man.get("group_added") or {}
         legacy_default = base_version if base_version is not None else 0
         base_set = set(base_man.get("data_groups") or [])
+        # dv_update["restamp"]: carried groups whose add-version is bumped
+        # to next_v by this commit. ONLY sound when the committer proved
+        # the group cannot contain any pending DV key (apply_deletes'
+        # stats prune) — the bump un-gates every pending DV for the group
+        # (a no-op read-side) and lets dead-DV pruning drop the vectors
+        # without rewriting key-free groups.
+        restamp = set((dv_update or {}).get("restamp") or [])
         manifest["group_added"] = {
-            g: int(base_added.get(g, legacy_default)) if g in base_set else next_v
+            g: (
+                next_v
+                if (g in restamp or g not in base_set)
+                else int(base_added.get(g, legacy_default))
+            )
             for g in groups
         }
         # merge-on-read equality-delete vectors: carried by every commit
@@ -935,13 +961,14 @@ class SnapshotTable:
     # ---------- stat-based pruning ----------
 
     def _prune_by_keys(
-        self, man: dict, keys: DataFrame, key: str
+        self, man: dict, keys: DataFrame, key: str, groups=None
     ) -> tuple[list[str], list[str]]:
         """(maybe_affected, pruned) split of the base snapshot's groups
+        (or the `groups` subset, e.g. one delete vector's gated groups)
         using manifest [min,max] stats for `key` — ONE tiny Spark job
         (|keys| ⋈ broadcast ranges), NO data-group file opened. Groups
         without stats for `key` are conservatively kept as affected."""
-        groups = man["data_groups"]
+        groups = man["data_groups"] if groups is None else groups
         stats = man.get("group_stats") or {}
         ranged, affected = [], []
         for g in groups:
@@ -956,12 +983,29 @@ class SnapshotTable:
                 key_t = dict(zip(keys.schema.names, keys.schema))[key].dataType
                 if isinstance(key_t, (T.TimestampType, T.TimestampNTZType)):
                     # stats for timestamp columns are stored string-encoded
-                    # (_stat_encode) — decode for the typed range join
+                    # (_stat_encode, UTC) — decode for the typed range
+                    # join. For TimestampType the decoded values must be
+                    # tz-AWARE UTC: createDataFrame converts naive
+                    # datetimes through the OS-local timezone
+                    # (time.mktime), so on a non-UTC host naive decoding
+                    # would shift the range literals by the UTC offset and
+                    # silently mark key-holding groups as unaffected. NTZ
+                    # stays naive (wall-clock semantics, converted
+                    # symmetrically on write and here).
+                    tz = (
+                        datetime.timezone.utc
+                        if isinstance(key_t, T.TimestampType)
+                        else None
+                    )
                     ranged = [
                         (
                             g,
-                            datetime.datetime.strptime(lo, "%Y-%m-%dT%H:%M:%S.%f"),
-                            datetime.datetime.strptime(hi, "%Y-%m-%dT%H:%M:%S.%f"),
+                            datetime.datetime.strptime(
+                                lo, "%Y-%m-%dT%H:%M:%S.%f"
+                            ).replace(tzinfo=tz),
+                            datetime.datetime.strptime(
+                                hi, "%Y-%m-%dT%H:%M:%S.%f"
+                            ).replace(tzinfo=tz),
                         )
                         for g, lo, hi in ranged
                     ]
@@ -1129,12 +1173,21 @@ class SnapshotTable:
             # datetime bounds are encoded as UTC (the repo-wide session
             # tz); under any other session tz a naive literal means local
             # wall time — drop those conjuncts rather than risk an
-            # off-by-offset prune
+            # off-by-offset prune. STRING bounds that the pruner would
+            # parse temporally (`_temporal_parse`) carry the same risk:
+            # on a timestamp column Spark casts the string in SESSION tz
+            # while the stats are UTC-encoded, so they must be dropped by
+            # exactly the predicate the pruner itself uses (keeping the
+            # guard and the pruner from drifting apart).
+            def _tz_risky(b):
+                return isinstance(b, (datetime.datetime, datetime.date)) or (
+                    isinstance(b, str) and _temporal_parse(b) is not None
+                )
+
             ranges = [
                 (c, lo, hi)
                 for c, lo, hi in ranges
-                if not isinstance(lo, (datetime.datetime, datetime.date))
-                and not isinstance(hi, (datetime.datetime, datetime.date))
+                if not _tz_risky(lo) and not _tz_risky(hi)
             ]
         staged_prev: list[str] = []
 
@@ -1399,11 +1452,14 @@ class SnapshotTable:
         return list(self.manifest(v).get("delete_vectors") or [])
 
     def apply_deletes(self) -> dict:
-        """Fold all pending delete vectors into their gated groups: ONE
-        DV-aware rewrite of the affected groups, after which the commit's
-        dead-DV pruning (see _try_commit) drops every vector from the
-        manifest and `vacuum()` reclaims the files. The scheduled
-        maintenance twin of `compact()` for merge-on-read tables."""
+        """Fold all pending delete vectors: ONE DV-aware rewrite of the
+        groups whose manifest key stats say a DV key could live there
+        (gated-but-key-free groups are carried by reference and merely
+        restamped), after which the commit's dead-DV pruning (see
+        _try_commit) drops every vector from the manifest and `vacuum()`
+        reclaims the files. Fold cost therefore tracks the KEY-HOLDING
+        groups, not the table. The scheduled maintenance twin of
+        `compact()` for merge-on-read tables."""
         staged_prev: list[str] = []
 
         def mutate(base):
@@ -1418,15 +1474,42 @@ class SnapshotTable:
                 raise _NothingToApply()
             added = man.get("group_added") or {}
             groups = man["data_groups"]
-            affected = [
+            gated = [
                 g
                 for g in groups
                 if any(
                     int(added.get(g, 0)) < int(dv["version"]) for dv in dvs
                 )
             ]
-            affected_set = set(affected)
-            keep = [g for g in groups if g not in affected_set]
+            # A gated group is REWRITTEN only if some applicable DV's key
+            # set could actually hit it (manifest-stats prune, one tiny
+            # job per DV) — folding a 100-key vector on a 10⁴-group table
+            # must rewrite the ~2 key-holding groups, not the whole
+            # table. Key-free gated groups are carried by reference with
+            # their add-version restamped to the folding commit's version
+            # (sound: no pending DV key lives there), which un-gates them
+            # so dead-DV pruning still drops every vector.
+            hit: set[str] = set()
+            for dv in dvs:
+                dv_gated = [
+                    g
+                    for g in gated
+                    if g not in hit
+                    and int(added.get(g, 0)) < int(dv["version"])
+                ]
+                if not dv_gated:
+                    continue
+                fkey = dv.get("file_key", dv["key"])
+                dv_keys = self.spark.read.parquet(
+                    self._group_path(dv["gid"])
+                ).select(F.col(fkey).alias(dv["key"]))
+                aff, _ = self._prune_by_keys(
+                    man, dv_keys, dv["key"], groups=dv_gated
+                )
+                hit.update(aff)
+            affected = [g for g in groups if g in hit]
+            restamp = [g for g in gated if g not in hit]
+            keep = [g for g in groups if g not in hit]
             stats = self._carried_stats(man, keep)
             if affected:
                 survivors = self._read_snapshot(man, affected)
@@ -1441,7 +1524,9 @@ class SnapshotTable:
                     stats[new_gid] = new_stats
             # dead-DV pruning in _try_commit drops the vectors: every
             # surviving group's add-version is ≥ every DV's version now
-            return keep, stats, man["schema"]
+            # (rewritten + restamped groups get next_v; the rest were
+            # never gated)
+            return keep, stats, man["schema"], {"restamp": restamp}
 
         try:
             v = self._commit_with_retry(mutate, "apply-deletes")

@@ -1045,3 +1045,156 @@ def test_stats_prune_date_and_string_bounds_on_timestamp(spark, tmp_path):
     assert (
         t2.scan([("warc_ts", dt.datetime(2024, 1, 15), None)]).count() == 1
     )
+
+
+def test_stat_encode_pads_ancient_years(spark, tmp_path):
+    """Years < 1000 (a common date-parse artifact in crawl data) must
+    encode fixed-width — strftime('%Y') emits '99' unpadded, which broke
+    the lex==chrono invariant and made a retention delete silently skip
+    the bogus-ancient rows (round-5 review finding)."""
+    import datetime as dt
+
+    from simages_spark.table import _stat_encode, _temporal_parse
+
+    anc = dt.datetime(99, 1, 1)
+    enc = _stat_encode(anc)
+    assert enc == "0099-01-01T00:00:00.000000"
+    assert _temporal_parse(enc) == anc
+    assert enc < _stat_encode(dt.datetime(2024, 1, 1))  # lex == chrono
+    assert _stat_encode(dt.date(99, 1, 1)) == "0099-01-01"
+
+    t = SnapshotTable(spark, str(tmp_path / "anc"))
+    t.append(
+        spark.createDataFrame(
+            [(1, anc), (2, dt.datetime(98, 6, 1))],
+            "doc_id long, warc_ts timestamp",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, dt.datetime(2025, 1, 1))], "doc_id long, warc_ts timestamp"
+        )
+    )
+    t.delete_where(F.col("warc_ts") < dt.datetime(2024, 1, 1))
+    assert {r["doc_id"] for r in t.read().collect()} == {3}
+    m = t.last_delete_metrics
+    assert (m["probed"], m["pruned"]) == (1, 1)
+
+
+def test_delete_where_string_column_stays_lexicographic(spark, tmp_path):
+    """A genuine string column holding space-separated ISO timestamps
+    must prune by Spark's LEXICOGRAPHIC order — chronological pruning
+    would skip groups whose rows match the predicate, because ' ' sorts
+    before 'T' (round-5 review finding)."""
+    t = SnapshotTable(spark, str(tmp_path / "strlex"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-02 01:00:00")], "doc_id long, seen string"
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, "2024-01-03 09:00:00")], "doc_id long, seen string"
+        )
+    )
+    # lexicographically '2024-01-02 01:00:00' < '2024-01-02T00:30:00'
+    # (' ' < 'T') although it is chronologically LATER — a chrono prune
+    # would silently keep doc 1
+    t.delete_where(F.col("seen") < "2024-01-02T00:30:00")
+    assert {r["doc_id"] for r in t.read().collect()} == {2}
+
+
+def test_delete_where_non_utc_session_drops_temporal_bounds(
+    spark, tmp_path
+):
+    """Under a non-UTC session timezone, string bounds the pruner would
+    parse temporally must not prune (Spark casts them in SESSION tz while
+    the stats are UTC-encoded); the delete still runs via the full
+    probe."""
+    import datetime as dt
+
+    t = SnapshotTable(spark, str(tmp_path / "tzguard"))
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 12))],
+            "doc_id long, warc_ts timestamp",
+        )
+    )
+    t.append(
+        spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 5, 12))],
+            "doc_id long, warc_ts timestamp",
+        )
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        t.delete_where(F.col("warc_ts") < F.lit("2024-01-02T00:00:00.000000"))
+        m = t.last_delete_metrics
+        assert m["pruned"] == 0  # the guard dropped the string bound
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert {r["doc_id"] for r in t.read().collect()} == {2}
+
+
+def test_delete_matching_timestamp_key_prunes(spark, tmp_path):
+    """Point deletes on a TIMESTAMP key must prune via the UTC-decoded
+    stats range join — including the group-min key, which a local-tz
+    decode would shift out of range on a non-UTC host (round-5 review
+    finding; validated to fail pre-fix under TZ=America/New_York)."""
+    import datetime as dt
+
+    def ts_df(day_lo, day_hi):
+        return spark.createDataFrame(
+            [
+                (dt.datetime(2020, 1, d, 12), d)
+                for d in range(day_lo, day_hi)
+            ],
+            "warc_ts timestamp, doc_id long",
+        )
+
+    t = SnapshotTable(spark, str(tmp_path / "tskey"))
+    t.append(ts_df(1, 5))     # group A: Jan 1-4
+    t.append(ts_df(10, 15))   # group B: Jan 10-14
+    before = list(t.manifest(t.current_version())["data_groups"])
+    keys = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 1, 12),)], "warc_ts timestamp"
+    )  # the group-A MIN — the boundary a tz-shifted range misses
+    t.delete_matching(keys, "warc_ts")
+    after = t.manifest(t.current_version())["data_groups"]
+    assert before[1] in after and before[0] not in after
+    assert t.read().count() == 8
+    assert min(r["doc_id"] for r in t.read().collect()) == 2
+
+
+def test_apply_deletes_rewrites_only_key_holding_groups(spark, tmp_path):
+    """Folding a small DV on a many-group table must rewrite ONLY the
+    groups whose stats can hold a DV key; the other gated groups are
+    carried by reference and restamped so the vector still dies
+    (round-5 review finding: the fold was O(table))."""
+    t = SnapshotTable(spark, str(tmp_path / "morprune"))
+    for i in range(5):
+        t.append(_df(spark, range(i * 100, i * 100 + 10)))
+    before = list(t.manifest(t.current_version())["data_groups"])
+    t.delete_matching(
+        spark.createDataFrame([(203,), (205,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    r = t.apply_deletes()
+    assert r["applied"] and r["remaining_dvs"] == 0
+    after = t.manifest(t.current_version())["data_groups"]
+    # 4 of 5 original groups carried by reference; only the key-holding
+    # group (200-209) was rewritten
+    assert set(before) & set(after) == set(before) - {before[2]}
+    expect = {
+        i for g in range(5) for i in range(g * 100, g * 100 + 10)
+    } - {203, 205}
+    assert {x["doc_id"] for x in t.read().collect()} == expect
+    # restamped groups must still be gated by FUTURE vectors
+    t.delete_matching(
+        spark.createDataFrame([(0,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    assert 0 not in {x["doc_id"] for x in t.read().collect()}
