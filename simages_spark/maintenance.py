@@ -47,13 +47,11 @@ cycle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import os
 
+from pyspark.sql import SparkSession, functions as F
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+from simages_spark.fsutil import hadoop_fs as _fs
 
 
 def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
@@ -91,6 +89,7 @@ def compact_batch_partitions(
     dedup_cols: list[str] | None = None,
     layout_col: str | None = None,
     n_output_files: int | None = None,
+    eligible: set[int] | None = None,
 ) -> dict:
     """Fold every existing batch partition of `path` into one fresh
     compacted-generation partition (see module docstring for the
@@ -104,7 +103,12 @@ def compact_batch_partitions(
     file from the folded partitions' on-disk size), not with the folded
     partition count — a 10⁹-row store must not be rewritten into a
     handful of monster files that cap every later scan's parallelism.
-    `n_output_files` overrides."""
+    `n_output_files` overrides.
+
+    `eligible` (when given) restricts the fold to those batch_ids —
+    used by `compact_edges_store` to never fold edge batches the
+    incremental cluster labeling has not consumed yet (they must stay
+    individually addressable for the catch-up path)."""
     parts = list_batch_partitions(spark, path)
     # NEVER fold the newest live batch partition: if the stream crashed
     # mid-batch N, batch_id=N holds a PARTIAL write that the retry of N
@@ -115,7 +119,11 @@ def compact_batch_partitions(
     # just waits one compaction cycle.
     live = [p for p in parts if p >= 0]
     keep_out = max(live) if live else None
-    fold = [p for p in parts if p != keep_out]
+    fold = [
+        p
+        for p in parts
+        if p != keep_out and (eligible is None or p in eligible)
+    ]
     if len(fold) <= 1:
         return {
             "compacted": False,
@@ -125,12 +133,44 @@ def compact_batch_partitions(
     gen = 1 + max((-p for p in parts if p < 0), default=0)
     target = -gen
 
-    df = spark.read.parquet(path)
-    if keep_out is not None:
-        df = df.where(F.col("batch_id") != keep_out)
-    df = df.drop("batch_id")
+    # read EXACTLY the snapshotted fold list, not "everything but
+    # keep_out" at job-execution time: a stream writing batch N+1 between
+    # the listing above and this job executing would otherwise get its
+    # possibly-partial rows baked into the generation while fs.delete
+    # only removes the snapshotted dirs — duplicating N+1 forever and
+    # defeating the retry's `batch_id < N` pre-batch prune (round-5
+    # review; this is the exact hazard the keep_out comment promises to
+    # prevent). isin on the partition column partition-prunes.
+    df = spark.read.parquet(path).where(
+        F.col("batch_id").isin([int(p) for p in fold])
+    )
     if dedup_cols:
-        df = df.dropDuplicates(dedup_cols)
+        others = [
+            c for c in df.columns if c != "batch_id" and c not in dedup_cols
+        ]
+        if others:
+            # keep-first dedup: among rows sharing dedup_cols, keep the
+            # EARLIEST batch's payload (full-row tiebreak for total
+            # determinism) — for the signature store this pins WHICH
+            # version of a re-delivered doc survives the fold to the same
+            # keep-first rule the probe applies (round-5 review: a plain
+            # dropDuplicates picked whichever row won the shuffle)
+            orig = [c for c in df.columns if c != "batch_id"]
+            df = (
+                df.groupBy(*dedup_cols)
+                .agg(
+                    F.min_by(
+                        F.struct(*others), F.struct("batch_id", *others)
+                    ).alias("_payload")
+                )
+                .select(*dedup_cols, "_payload.*")
+                .select(*orig)  # the fold must keep the store's column
+                # order — later per-batch partitions are written in it
+            )
+        else:
+            df = df.drop("batch_id").dropDuplicates(dedup_cols)
+    else:
+        df = df.drop("batch_id")
     if n_output_files is None:
         total = _folded_bytes(spark, path, fold)
         n_files = max(1, min(4096, -(-total // TARGET_FILE_BYTES)))
@@ -185,7 +225,43 @@ def compact_signature_store(spark: SparkSession, signatures_dir: str, **kw) -> d
 
 def compact_edges_store(spark: SparkSession, edges_dir: str, **kw) -> dict:
     """Compact the streaming edges sink: (src, dst) is the pair
-    identity; keep one row per pair."""
-    return compact_batch_partitions(
-        spark, edges_dir, dedup_cols=["src", "dst"], layout_col="src", **kw
+    identity; keep one row per pair.
+
+    Cluster-labeling awareness (round-5 review): when the sibling
+    incremental cluster state exists (`<root>/clusters` next to
+    `<root>/edges`), only edge partitions the labeling has ALREADY
+    folded are eligible — already-folded generations plus live batches
+    ≤ the fold watermark. Folding a not-yet-consumed batch would delete
+    the only per-batch addressable copy of its edges, silently breaking
+    the documented crawl_clusters == CC(crawl_edges) equality (the
+    catch-up path can never see inside a generation). The generation
+    this fold creates therefore contains only already-folded edges and
+    is recorded as folded itself, so the catch-up never re-reads it."""
+    from simages_spark.operators.cluster_state import (
+        note_gen_folded,
+        read_progress,
     )
+
+    cluster_root = os.path.join(os.path.dirname(edges_dir.rstrip("/")), "clusters")
+    eligible = None
+    has_state = os.path.exists(
+        os.path.join(cluster_root, "progress_near.json")
+    )
+    if has_state:
+        prog = read_progress(cluster_root, "near")
+        eligible = set(prog["gens"]) | {
+            b
+            for b in list_batch_partitions(spark, edges_dir)
+            if 0 <= b <= prog["batch_id"]
+        }
+    out = compact_batch_partitions(
+        spark,
+        edges_dir,
+        dedup_cols=["src", "dst"],
+        layout_col="src",
+        eligible=eligible,
+        **kw,
+    )
+    if has_state and out.get("compacted"):
+        note_gen_folded(cluster_root, "near", out["target_batch_id"])
+    return out

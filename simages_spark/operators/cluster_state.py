@@ -67,6 +67,82 @@ from simages_spark.table import SnapshotTable
 MEMBERS_SCHEMA = "doc_id long, label long, source_id string, batch_id long"
 FORWARD_SCHEMA = "old_label long, label long"
 
+REBUILD_FLAG = "_rebuilding"
+
+
+def _progress_path(root: str, source_id: str) -> str:
+    return os.path.join(root, f"progress_{source_id}.json")
+
+
+def read_progress(root: str, source_id: str) -> dict:
+    """{batch_id: int, gens: list[int]} fold progress for `source_id`
+    under cluster root `root` — module-level so maintenance jobs can
+    consult it without instantiating the state tables. batch_id is the
+    highest LIVE batch folded (-1 = none); gens lists the compacted
+    generations (negative batch_ids) known folded."""
+    try:
+        with open(_progress_path(root, source_id)) as f:
+            d = json.load(f)
+        return {
+            "batch_id": int(d.get("batch_id", -1)),
+            "gens": [int(g) for g in d.get("gens", [])],
+        }
+    except (OSError, ValueError, KeyError):
+        return {"batch_id": -1, "gens": []}
+
+
+def _write_progress(root: str, source_id: str, prog: dict) -> None:
+    path = _progress_path(root, source_id)
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "source_id": source_id,
+                "batch_id": int(prog["batch_id"]),
+                "gens": sorted(int(g) for g in set(prog["gens"])),
+            },
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def _void_state(root: str) -> None:
+    """Delete all cluster state under `root`, crash-safely: the
+    REBUILD_FLAG is installed BEFORE any deletion and removed only after
+    everything is gone, and `ClusterState.__init__` finishes an
+    interrupted voiding — so a crash can never leave half-deleted state
+    (e.g. members without forward) silently read as current labels."""
+    import shutil
+
+    os.makedirs(root, exist_ok=True)
+    flag = os.path.join(root, REBUILD_FLAG)
+    with open(flag, "w") as f:
+        f.write("rebuild in progress")
+    shutil.rmtree(os.path.join(root, "forward"), ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "members"), ignore_errors=True)
+    for name in os.listdir(root):
+        if name.startswith("progress_") and name.endswith(".json"):
+            try:
+                os.unlink(os.path.join(root, name))
+            except OSError:
+                pass
+    os.unlink(flag)
+
+
+def note_gen_folded(root: str, source_id: str, gen_batch_id: int) -> None:
+    """Record a compacted generation (negative batch_id) as folded into
+    the labeling — written by the catch-up after folding it, and by
+    `maintenance.compact_edges_store` when the generation it creates
+    contains only already-folded batches."""
+    if gen_batch_id >= 0:
+        raise ValueError("generations have negative batch_ids")
+    prog = read_progress(root, source_id)
+    if gen_batch_id in prog["gens"]:
+        return
+    prog["gens"].append(gen_batch_id)
+    _write_progress(root, source_id, prog)
+
 
 class ClusterState:
     """Persisted doc_id → cluster_id labeling, updated per edge batch."""
@@ -74,6 +150,11 @@ class ClusterState:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        if os.path.exists(os.path.join(root, REBUILD_FLAG)):
+            # a prior rebuild crashed mid-deletion; half-deleted state
+            # (e.g. members without forward) must never be read as
+            # current labels — finish voiding it first
+            _void_state(root)
         self.members = SnapshotTable(spark, f"{root}/members")
         self.forward = SnapshotTable(spark, f"{root}/forward")
 
@@ -87,8 +168,18 @@ class ClusterState:
     def _forward_df(self) -> DataFrame | None:
         if self.forward.current_version() is None:
             return None
+        # emptiness from manifest row stats — zero Spark jobs (round-5
+        # review: the head(1) probe paid a scheduler round trip on every
+        # tick AND every cluster read). forward is only ever written by
+        # overwrite/truncate, so the stats are always complete; the
+        # head(1) fallback covers a hypothetical stats-less manifest.
+        n = self.forward.manifest_row_count()
+        if n == 0:
+            return None
         df = self.forward.read()
-        return df if df.head(1) else None
+        if n is None and not df.head(1):
+            return None
+        return df
 
     def clusters(self) -> DataFrame:
         """(doc_id, cluster_id) for every doc that ever appeared as an
@@ -122,23 +213,40 @@ class ClusterState:
         breaks. Lagging is always safe: re-folding an already-folded
         batch is idempotent (pre-batch-view resolution + exactly-once
         appends)."""
-        path = os.path.join(self.root, f"progress_{source_id}.json")
-        try:
-            with open(path) as f:
-                return int(json.load(f)["batch_id"])
-        except (OSError, ValueError, KeyError):
-            return -1
+        return read_progress(self.root, source_id)["batch_id"]
+
+    def folded_gens(self, source_id: str) -> set[int]:
+        """Compacted edge generations (negative batch_ids) known folded
+        into the labeling — see `note_gen_folded`."""
+        return set(read_progress(self.root, source_id)["gens"])
 
     def set_watermark(self, source_id: str, batch_id: int) -> None:
         """Advance (never regress) the folded-batch watermark."""
-        cur = self.watermark(source_id)
-        if batch_id <= cur:
+        prog = read_progress(self.root, source_id)
+        if batch_id <= prog["batch_id"]:
             return
-        path = os.path.join(self.root, f"progress_{source_id}.json")
-        tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"source_id": source_id, "batch_id": int(batch_id)}, f)
-        os.replace(tmp, path)
+        prog["batch_id"] = batch_id
+        _write_progress(self.root, source_id, prog)
+
+    def note_gen(self, source_id: str, gen_batch_id: int) -> None:
+        note_gen_folded(self.root, source_id, gen_batch_id)
+
+    # ---------- rebuild ----------
+
+    @classmethod
+    def rebuild(cls, spark: SparkSession, root: str) -> "ClusterState":
+        """Void the state and start fresh — the recovery path when the
+        edges store was compacted past the labeling's fold progress (the
+        exact per-batch replay basis is gone, so the only way to keep
+        the clusters == from-scratch-CC contract is to refold all
+        surviving edge partitions once; callers do the refold).
+        Crash-safe via a flag file: the flag is installed BEFORE any
+        deletion and removed only after everything is gone, and
+        `__init__` completes an interrupted rebuild — so a crash can
+        never leave half-deleted state (e.g. members without forward)
+        being silently read as current labels."""
+        _void_state(root)
+        return cls(spark, root)
 
     # ---------- tick update ----------
 
@@ -209,7 +317,9 @@ class ClusterState:
                     F.coalesce(F.col("_ca"), F.col("src")).alias("src"),
                     F.coalesce(F.col("_cb"), F.col("dst")).alias("dst"),
                 )
-            )
+            ).persist()  # consumed by CC AND the metrics count below —
+            # unpersisted, the two contraction joins + dedup shuffle
+            # would run twice per tick (round-5 review)
             roots = connected_components(contracted, cfg).persist()
             changed = new_members = None
             try:
@@ -283,6 +393,7 @@ class ClusterState:
                 }
             finally:
                 roots.unpersist()
+                contracted.unpersist()
                 cur.unpersist()
                 if new_members is not None:
                     new_members.unpersist()

@@ -41,6 +41,43 @@ from simages_spark.operators.sig_index import probe_keys
 from simages_spark.operators.verify import verify_pairs
 
 
+def _probe_join(nk: DataFrame, idx: DataFrame, cfg: DedupConfig):
+    """The probe's candidate key-join, shared by `incremental_dedup_edges`
+    and `probe_metrics` so the two can never drift (round-5 review: the
+    join + Hamming cut were written twice; a tweak applied to one copy
+    would make the metrics report a different candidate set than the
+    probe actually uses). Returns (joined, ok):
+
+      joined — (kind, pkey) equi-join of batch probe keys against the
+               store index, src != dst
+      ok     — kind-1 (SimHash combination-key) matches get the SAME
+               exact bit_count(xor) <= d cut the batch pipeline applies,
+               so detection is arrival-order-invariant: a pair is a
+               candidate iff it would be in a single-batch run (bands
+               agree, OR keys agree AND Hamming <= d); kind-0 band
+               matches are always ok
+    """
+    joined = (
+        nk.select(
+            "kind", "pkey",
+            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"),
+        )
+        .join(
+            idx.select(
+                "kind", "pkey",
+                F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"),
+            ),
+            ["kind", "pkey"],
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    ok = (F.col("kind") == 0) | (
+        F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
+        <= cfg.simhash_max_hamming
+    )
+    return joined, ok
+
+
 def incremental_dedup_edges(
     new_docs: DataFrame,
     existing_signatures: DataFrame,
@@ -88,27 +125,9 @@ def incremental_dedup_edges(
         # broadcast, pass broadcast_batch=False and probe the
         # bucketed-index layout instead (sig_index.py).
         nk = F.broadcast(nk)
-    # kind-1 (SimHash combination-key) matches get the SAME exact
-    # bit_count(xor) <= d cut the batch pipeline applies — detection is
-    # arrival-order-invariant: a pair is a candidate iff it would be in a
-    # single-batch run (bands agree, OR keys agree AND Hamming <= d)
-    ham_ok = (F.col("kind") == 0) | (
-        F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
-        <= cfg.simhash_max_hamming
-    )
+    joined, ham_ok = _probe_join(nk, idx, cfg)
     candidates = (
-        nk.select(
-            "kind", "pkey",
-            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"),
-        )
-        .join(
-            idx.select(
-                "kind", "pkey",
-                F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"),
-            ),
-            ["kind", "pkey"],
-        )
-        .where((F.col("src") != F.col("dst")) & ham_ok)
+        joined.where(ham_ok)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
         # candidates feed BOTH the matched-payload semi-join and the
@@ -133,13 +152,39 @@ def incremental_dedup_edges(
         .localCheckpoint(eager=True)
     )
     matched = candidates.select(F.col("dst").alias("doc_id")).distinct()
-    existing_sets = existing_signatures.select("doc_id", "shingle_hashes").join(
-        matched, "doc_id", "left_semi"
+    # store rows carry their batch_id in the streaming loop; direct batch
+    # callers may not have one — the literal then only breaks ties that
+    # cannot occur there (a static corpus holds one row per doc)
+    store_seq = (
+        F.col("batch_id")
+        if "batch_id" in existing_signatures.columns
+        else F.lit(0)
     )
+    existing_sets = existing_signatures.select(
+        "doc_id", "shingle_hashes", store_seq.cast("long").alias("_seq")
+    ).join(matched, "doc_id", "left_semi")
+    # one payload row per doc_id, picked DETERMINISTICALLY: the store's
+    # earliest version wins (keep-first — the same policy the dedup tier
+    # applies to content), batch rows only cover docs the store lacks.
+    # A doc_id re-delivered with CHANGED text (same url, new crawl) would
+    # otherwise race: dropDuplicates kept whichever row won the shuffle,
+    # so verify scored nondeterministically against old-or-new shingles
+    # and edges flickered across runs (round-5 review). The store's own
+    # compaction applies the same keep-first rule
+    # (maintenance.compact_signature_store).
     sets = (
-        new_sig.select("doc_id", "shingle_hashes")
+        new_sig.select(
+            "doc_id",
+            "shingle_hashes",
+            F.lit(2**62).alias("_seq"),  # always after any store batch
+        )
         .unionByName(existing_sets)
-        .dropDuplicates(["doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.min_by(
+                "shingle_hashes", F.struct("_seq", "shingle_hashes")
+            ).alias("shingle_hashes")
+        )
     )
     edges = verify_pairs(candidates, sets, cfg)
     if include_within_batch:
@@ -160,25 +205,7 @@ def probe_metrics(
     a batch actually costs against a given store."""
     cfg = cfg or DedupConfig()
     nk = probe_keys(new_signatures, cfg, use_simhash)
-    joined = (
-        F.broadcast(nk)
-        .select(
-            "kind", "pkey",
-            F.col("doc_id").alias("src"), F.col("simhash").alias("sim_src"),
-        )
-        .join(
-            existing_index.select(
-                "kind", "pkey",
-                F.col("doc_id").alias("dst"), F.col("simhash").alias("sim_dst"),
-            ),
-            ["kind", "pkey"],
-        )
-        .where(F.col("src") != F.col("dst"))
-    )
-    ham_ok = (F.col("kind") == 0) | (
-        F.bit_count(F.col("sim_src").bitwiseXOR(F.col("sim_dst")))
-        <= cfg.simhash_max_hamming
-    )
+    joined, ham_ok = _probe_join(F.broadcast(nk), existing_index, cfg)
     per_pair = (
         joined.withColumn("ok", ham_ok)
         .groupBy("src", "dst")

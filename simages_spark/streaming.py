@@ -66,9 +66,9 @@ def _streaming_incarnation_id(
     mode for a signature store. Read through the Hadoop FS API so any
     Spark-visible filesystem works; falls back for direct
     batch-processor calls with no streaming checkpoint."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/metadata")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from simages_spark.fsutil import hadoop_fs
+
+    fs, jpath, jvm = hadoop_fs(spark, f"{checkpoint_dir}/metadata")
     if not fs.exists(jpath):
         return fallback  # no streaming checkpoint (direct batch caller)
     # metadata EXISTS: a read/parse failure must FAIL the batch, not fall
@@ -83,6 +83,53 @@ def _streaming_incarnation_id(
     import json
 
     return str(json.loads(raw)["id"])
+
+
+def _guard_store_incarnation(
+    spark: SparkSession, store_dir: str, incarnation: str
+) -> None:
+    """Dir-store twin of the table path's incarnation-keyed watermarks
+    (round-5 review): the three dir stores are DYNAMIC PARTITION
+    OVERWRITES on batch_id, so a wiped-and-rebuilt checkpoint (batch ids
+    restart at 0) would silently OVERWRITE the old incarnation's
+    batch-0.. partitions — destroying signatures/index keys/edges for
+    different documents with no error (the table twin re-appends:
+    benign duplicates; the dir twin loses data). Each store records the
+    incarnation that writes it in an `_incarnation` marker (underscore
+    prefix: invisible to Spark's file index); a mismatch fails loudly
+    with the two safe options instead of deleting data."""
+    from simages_spark.fsutil import hadoop_fs
+
+    marker = f"{store_dir.rstrip('/')}/_incarnation"
+    fs, jpath, jvm = hadoop_fs(spark, marker)
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        try:
+            prev = str(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            ).strip()
+        finally:
+            stream.close()
+        if prev != incarnation:
+            raise RuntimeError(
+                f"store {store_dir} was written by streaming-checkpoint "
+                f"incarnation {prev}, but this query runs incarnation "
+                f"{incarnation} (the checkpoint was wiped or replaced). "
+                "Proceeding would dynamic-partition-overwrite the old "
+                "incarnation's batches — silent data loss. Either remove "
+                "the store dirs together with the checkpoint, or use the "
+                "table-backed variant (stream_near_dedup_to_tables), "
+                "which re-appends safely across incarnations."
+            )
+        return
+    parent = jvm.org.apache.hadoop.fs.Path(store_dir)
+    if not fs.exists(parent):
+        fs.mkdirs(parent)
+    out = fs.create(jpath, False)
+    try:
+        out.write(bytearray(incarnation.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def stream_signatures_to_table(
@@ -140,11 +187,12 @@ def stream_signatures_to_table(
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API — correct on any
     Spark-visible filesystem (HDFS/S3A/local), unlike os.path.exists
-    which only sees the driver's local FS (round-2 advice item 1)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    which only sees the driver's local FS (round-2 advice item 1).
+    Delegates to the shared fsutil helper (round-5 review: one home for
+    the FileSystem resolution)."""
+    from simages_spark.fsutil import hadoop_path_exists
+
+    return hadoop_path_exists(spark, path)
 
 
 def _read_data_or_none(spark: SparkSession, path: str):
@@ -342,6 +390,15 @@ def process_near_dedup_batch_tables(
 
     new_sig = compute_signatures(batch_df.select("doc_id", "text"), cfg).persist()
     try:
+        if not new_sig.head(1):
+            # same guard as the dir twin: an empty micro-batch (zero-row
+            # trigger or a replay whose input vanished) must not commit
+            # three empty stats-less groups + spurious table versions per
+            # occurrence — empty groups are unprunable by batch_id stats
+            # and would accumulate in every future probe scan until a
+            # compact (round-5 review). Skipping keeps the exactly-once
+            # bookkeeping correct: a replay of the skip re-skips.
+            return
         prior = [("batch_id", None, batch_id - 1)]
         # "has prior batches" from manifest batch_id stats, zero jobs —
         # NOT just table existence: a replay of the FIRST batch finds its
@@ -455,8 +512,17 @@ def stream_near_dedup(
     cfg = cfg or DedupConfig()
     index_dir = index_dir or signatures_dir.rstrip("/") + "_index"
     incoming = spark.readStream.schema(schema).parquet(input_dir)
+    state: dict[str, bool] = {}
 
     def process(batch_df, batch_id: int) -> None:
+        if "guarded" not in state:
+            ss = batch_df.sparkSession
+            inc = _streaming_incarnation_id(
+                ss, checkpoint_dir, f"near:{checkpoint_dir}"
+            )
+            for d in (signatures_dir, index_dir, edges_dir):
+                _guard_store_incarnation(ss, d, inc)
+            state["guarded"] = True
         process_near_dedup_batch(
             batch_df,
             batch_id,
@@ -729,16 +795,51 @@ def stream_crawl_dedup(
         # same work the stateless fallback pays per read, paid once.
         hist_edges = _read_data_or_none(spark, f"{root}/edges")
         if hist_edges is not None:
-            wm = state.watermark("near")
-            missed = [
+            ids = sorted(
                 r["batch_id"]
-                for r in hist_edges.select("batch_id")
-                .where(F.col("batch_id") > F.lit(wm))
-                .distinct()
-                .sort("batch_id")
-                .collect()
-            ]
-            for b in missed:
+                for r in hist_edges.select("batch_id").distinct().collect()
+            )
+            wm = state.watermark("near")
+            gens_done = state.folded_gens("near")
+            # negative batch_ids are COMPACTED GENERATIONS
+            # (maintenance.compact_edges_store); `batch_id > wm` can
+            # never select them (round-5 review), so they get their own
+            # folded-set bookkeeping. Two legitimate ways a generation is
+            # already folded: the catch-up folded it below (note_gen), or
+            # compaction created it from only-already-folded partitions
+            # and recorded it itself.
+            unknown_gens = sorted(
+                b for b in ids if b < 0 and b not in gens_done
+            )
+            if unknown_gens and state.members.current_version() is not None:
+                # the edges store was compacted PAST the labeling's fold
+                # progress (a pre-guard compaction): the per-batch replay
+                # basis inside those generations is gone, so the only way
+                # to keep clusters == from-scratch CC is to void the
+                # state and refold every surviving partition once —
+                # O(history), the same work the stateless fallback pays
+                # per read, paid once. The star checkpoint is wiped too
+                # so the lineage star edges replay into the fresh state.
+                import shutil
+
+                state = ClusterState.rebuild(spark, f"{root}/clusters")
+                shutil.rmtree(f"{root}/ckpt_star", ignore_errors=True)
+                wm = -1
+                unknown_gens = sorted(b for b in ids if b < 0)
+            for b in unknown_gens:
+                # ascending (-2 before -1 before live 0..): the
+                # exactly-once member appends see strictly increasing
+                # sequence numbers
+                state.update(
+                    hist_edges.where(F.col("batch_id") == b).select(
+                        "src", "dst"
+                    ),
+                    b,
+                    source_id="near",
+                    cfg=cfg,
+                )
+                state.note_gen("near", b)
+            for b in (i for i in ids if i >= 0 and i > wm):
                 state.update(
                     hist_edges.where(F.col("batch_id") == b).select(
                         "src", "dst"
@@ -749,7 +850,17 @@ def stream_crawl_dedup(
                 )
                 state.set_watermark("near", b)
 
+    guard_state: dict[str, bool] = {}
+
     def process(batch_df, batch_id: int) -> None:
+        if "guarded" not in guard_state:
+            ss = batch_df.sparkSession
+            inc = _streaming_incarnation_id(
+                ss, f"{root}/ckpt_near", f"crawl:{root}"
+            )
+            for d in (f"{root}/sig", f"{root}/idx", f"{root}/edges"):
+                _guard_store_incarnation(ss, d, inc)
+            guard_state["guarded"] = True
         process_near_dedup_batch(
             batch_df,
             batch_id,

@@ -1444,6 +1444,28 @@ class SnapshotTable:
             shutil.rmtree(self._group_path(dv_gid), ignore_errors=True)
             raise
 
+    def manifest_row_count(self, version: int | None = None) -> int | None:
+        """EXACT visible row count from the manifest's per-group stats —
+        zero Spark jobs — or None when the manifest cannot answer
+        exactly: no version yet, a group without recorded stats, or
+        pending delete vectors (manifest counts would overcount).
+        Lets callers replace read-and-head(1) emptiness probes (a
+        scheduler round trip per call) with a driver-side sum."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        man = self.manifest(v)
+        if man.get("delete_vectors"):
+            return None
+        stats = man.get("group_stats") or {}
+        total = 0
+        for g in man["data_groups"]:
+            st = stats.get(g)
+            if st is None or "rows" not in st:
+                return None
+            total += int(st["rows"])
+        return total
+
     def pending_delete_vectors(self, version: int | None = None) -> list[dict]:
         """The snapshot's live equality-delete vectors (observability)."""
         v = self.current_version() if version is None else version

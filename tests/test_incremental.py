@@ -200,3 +200,29 @@ def test_probe_does_not_leak_cache_entries(spark):
         edges = incremental_dedup_edges(batch, sig, CFG)
         assert (100 + b, 1) in _edges(edges)  # fully consumed
         assert cm.isEmpty(), f"cache entry leaked on micro-batch {b}"
+
+
+def test_probe_payload_prefers_earliest_store_version(spark):
+    """A doc_id re-delivered with CHANGED text (same url, new crawl)
+    leaves two signature versions in the store; verify must score
+    deterministically against the EARLIEST version (keep-first — the
+    same policy the dedup tier applies to content), not whichever row
+    wins the shuffle (round-5 review: edges flickered across runs)."""
+    docs_a = spark.createDataFrame([(5, BASE_A)], "doc_id long, text string")
+    docs_b = spark.createDataFrame([(5, BASE_B)], "doc_id long, text string")
+    store = (
+        compute_signatures(docs_a, CFG)
+        .withColumn("batch_id", F.lit(0))
+        .unionByName(
+            compute_signatures(docs_b, CFG).withColumn("batch_id", F.lit(1))
+        )
+    )
+    # the probe batch is an EXACT copy of version A: the edge (6, 5)
+    # verifies at 1.0 iff the payload picked version A; against version
+    # B the jaccard is ~0 and the edge would vanish below threshold
+    new = compute_signatures(
+        spark.createDataFrame([(6, BASE_A)], "doc_id long, text string"), CFG
+    )
+    edges = incremental_dedup_edges(None, store, CFG, new_signatures=new)
+    got = {(r["src"], r["dst"]): r["jaccard"] for r in edges.collect()}
+    assert got[(6, 5)] == 1.0

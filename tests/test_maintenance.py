@@ -111,3 +111,67 @@ def test_compaction_noop_on_single_partition(spark, tmp_path):
     out = compact_probe_index(spark, f"{root}/idx")
     assert out == {"compacted": False, "folded_partitions": 0, "partitions": 1}
     assert list_batch_partitions(spark, f"{root}/idx") == [0]
+
+
+def test_compact_eligible_restricts_fold(spark, tmp_path):
+    """`eligible` bounds the fold to the given batch_ids — the hook
+    compact_edges_store uses to never fold edge batches the cluster
+    labeling has not consumed yet."""
+    from simages_spark.maintenance import compact_batch_partitions
+
+    path = str(tmp_path / "store")
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, f"v{b}") for i in range(3)], "k long, v string"
+        ).withColumn("batch_id", F.lit(b)).write.mode("append").partitionBy(
+            "batch_id"
+        ).parquet(path)
+
+    # only batch 0 eligible → nothing to fold (a 1-partition fold is a
+    # no-op), all partitions intact
+    r = compact_batch_partitions(spark, path, eligible={0})
+    assert not r["compacted"]
+    assert list_batch_partitions(spark, path) == [0, 1, 2, 3]
+
+    # 0 and 1 eligible → exactly those fold; 2 stays (plus 3, keep-out)
+    r = compact_batch_partitions(spark, path, eligible={0, 1})
+    assert r["compacted"] and r["folded_partitions"] == 2
+    assert list_batch_partitions(spark, path) == [-1, 2, 3]
+    assert spark.read.parquet(path).count() == 12  # nothing lost
+
+
+def test_signature_compaction_keeps_first_version(spark, tmp_path):
+    """When the same doc_id appears in several batches with DIFFERENT
+    payloads (changed-text redelivery), the fold must keep the EARLIEST
+    batch's row — deterministic keep-first, matching the probe's payload
+    rule (round-5 review: dropDuplicates picked a shuffle winner)."""
+    path = str(tmp_path / "sig_store")
+    rows = spark.createDataFrame(
+        [(5, [1, 2, 3]), (7, [9, 9, 9])],
+        "doc_id long, shingle_hashes array<bigint>",
+    )
+    rows.withColumn("batch_id", F.lit(0)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(path)
+    changed = spark.createDataFrame(
+        [(5, [4, 5, 6])], "doc_id long, shingle_hashes array<bigint>"
+    )
+    changed.withColumn("batch_id", F.lit(1)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(8, [7, 7, 7])], "doc_id long, shingle_hashes array<bigint>"
+    ).withColumn("batch_id", F.lit(2)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(path)
+
+    r = compact_signature_store(spark, path)
+    assert r["compacted"]
+    got = {
+        row["doc_id"]: list(row["shingle_hashes"])
+        for row in spark.read.parquet(path)
+        .where(F.col("batch_id") < 0)
+        .collect()
+    }
+    assert got[5] == [1, 2, 3]  # batch-0 version survived the fold
+    assert got[7] == [9, 9, 9]

@@ -158,7 +158,11 @@ def test_stream_near_dedup(spark, tmp_path):
                               (2, "some other unrelated page", "en", "s", 0)])
     stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
     assert spark.read.parquet(sig).count() == 2
-    assert not os.path.exists(edg)  # no prior corpus → no edges dir yet
+    # no prior corpus → no edge DATA yet. The dir itself now exists (it
+    # holds the _incarnation marker the wipe-guard writes); consumers
+    # already treat a data-less dir as empty, which is what matters.
+    if os.path.exists(edg):
+        assert all(f.startswith(("_", ".")) for f in os.listdir(edg))
 
     # batch 2: exact copy + near-dup of doc 1, one fresh doc
     _write_batch(spark, inp, [(10, base, "en", "s", 0),
@@ -554,3 +558,152 @@ def test_crawl_cluster_maintenance_catches_up_on_preexisting_history(
         for r in crawl_clusters(spark, root).collect()
     }
     assert inc2 == scratch
+
+
+def test_crawl_edges_compaction_keeps_cluster_equality(spark, tmp_path):
+    """maintenance.compact_edges_store must fold only edge batches the
+    incremental labeling already consumed and record the generation as
+    folded; a pre-guard compaction (generation unknown to the progress
+    file) must trigger a one-time rebuild — in BOTH cases the labeling
+    stays literally equal to from-scratch CC over crawl_edges (round-5
+    review: generations were invisible to the `batch_id > wm` catch-up,
+    silently breaking the equality)."""
+    from pyspark.sql import functions as F
+
+    from simages_spark.maintenance import (
+        compact_batch_partitions,
+        compact_edges_store,
+        list_batch_partitions,
+    )
+    from simages_spark.operators.cluster_state import read_progress
+    from simages_spark.operators.connected_components import (
+        connected_components,
+    )
+    from simages_spark.streaming import (
+        crawl_clusters,
+        crawl_edges,
+        stream_crawl_dedup,
+    )
+
+    inp = str(tmp_path / "incoming")
+    root = str(tmp_path / "crawl")
+    os.makedirs(inp, exist_ok=True)
+    base = " ".join(f"word{i}" for i in range(40))
+
+    def near(k):
+        return " ".join(
+            (f"CHANGED{k}" if i == 4 * k else f"word{i}") for i in range(40)
+        )
+
+    def assert_equal_clusters():
+        scratch = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                crawl_edges(spark, root), CFG
+            ).collect()
+        }
+        inc = {
+            (r["doc_id"], r["cluster_id"])
+            for r in crawl_clusters(spark, root).collect()
+        }
+        assert inc == scratch and scratch
+
+    _write_batch(spark, inp, [(1, base, "en", "s", 0), (2, near(1), "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG)
+    _write_batch(spark, inp, [(3, near(2), "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG)
+    _write_batch(spark, inp, [(4, near(3), "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG)
+    assert_equal_clusters()
+
+    # cluster-aware compaction: folds only consumed batches, records the
+    # generation it creates as folded
+    r = compact_edges_store(spark, f"{root}/edges")
+    assert r["compacted"]
+    assert r["target_batch_id"] in read_progress(
+        f"{root}/clusters", "near"
+    )["gens"]
+
+    # next tick's catch-up sees nothing unknown — labeling survives
+    _write_batch(spark, inp, [(5, near(4), "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG)
+    assert_equal_clusters()
+    members_v1 = crawl_clusters(spark, root).count()
+
+    # pre-guard compaction: fold EVERYTHING (including the recorded
+    # generation) into a new generation the progress file cannot know
+    compact_batch_partitions(
+        spark,
+        f"{root}/edges",
+        dedup_cols=["src", "dst"],
+        layout_col="src",
+        eligible=set(list_batch_partitions(spark, f"{root}/edges")),
+    )
+    # the catch-up detects the unknown generation, voids the state, and
+    # refolds every surviving partition + replays the lineage stars
+    _write_batch(spark, inp, [(6, near(5), "en", "s", 0)])
+    stream_crawl_dedup(spark, inp, root, CFG)
+    assert_equal_clusters()
+    assert crawl_clusters(spark, root).count() > members_v1
+
+
+def test_dir_store_incarnation_guard_blocks_checkpoint_wipe(spark, tmp_path):
+    """A wiped-and-rebuilt streaming checkpoint over KEPT dir stores must
+    fail loudly: batch ids restart at 0 and the dynamic partition
+    overwrite would silently destroy the old incarnation's partitions
+    (round-5 review). The table-backed variant re-appends instead — this
+    guard is the dir path's equivalent safety."""
+    import shutil
+
+    import pytest
+
+    from simages_spark.streaming import stream_near_dedup
+
+    inp = str(tmp_path / "in")
+    sig = str(tmp_path / "sig")
+    edg = str(tmp_path / "edges")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp, exist_ok=True)
+    base = " ".join(f"word{i}" for i in range(40))
+
+    _write_batch(spark, inp, [(1, base, "en", "s", 0)])
+    stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
+    before = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(sig).select("doc_id", "batch_id").collect()
+    }
+    assert before
+
+    shutil.rmtree(ckpt)  # the wipe: batch ids will restart at 0
+    with pytest.raises(Exception) as ei:
+        stream_near_dedup(spark, inp, sig, edg, ckpt).awaitTermination()
+    assert "incarnation" in str(ei.value)
+    after = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(sig).select("doc_id", "batch_id").collect()
+    }
+    assert after == before  # nothing was overwritten
+
+
+def test_tables_path_skips_empty_micro_batch(spark, tmp_path):
+    """An empty micro-batch must not commit empty stats-less groups and
+    spurious versions to the three crawl tables (round-5 review: empty
+    groups are unprunable by batch_id stats and accumulate in every
+    future probe scan)."""
+    from simages_spark.streaming import process_near_dedup_batch_tables
+    from simages_spark.table import SnapshotTable
+
+    root = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    process_near_dedup_batch_tables(empty, 0, root, CFG)
+    assert SnapshotTable(spark, f"{root}/sig_table").current_version() is None
+
+    docs = spark.createDataFrame(
+        [(1, "hello world page body text")], "doc_id long, text string"
+    )
+    process_near_dedup_batch_tables(docs, 1, root, CFG)
+    v_sig = SnapshotTable(spark, f"{root}/sig_table").current_version()
+    v_idx = SnapshotTable(spark, f"{root}/idx_table").current_version()
+    process_near_dedup_batch_tables(empty, 2, root, CFG)
+    assert SnapshotTable(spark, f"{root}/sig_table").current_version() == v_sig
+    assert SnapshotTable(spark, f"{root}/idx_table").current_version() == v_idx

@@ -1198,3 +1198,25 @@ def test_apply_deletes_rewrites_only_key_holding_groups(spark, tmp_path):
         merge_on_read=True,
     )
     assert 0 not in {x["doc_id"] for x in t.read().collect()}
+
+
+def test_manifest_row_count_zero_jobs_path(spark, tmp_path):
+    """Exact visible row count from manifest stats; None whenever the
+    manifest cannot answer exactly (no version, pending delete
+    vectors)."""
+    t = SnapshotTable(spark, str(tmp_path / "mrc"))
+    assert t.manifest_row_count() is None
+    t.append(_df(spark, range(7)))
+    assert t.manifest_row_count() == 7
+    t.append(_df(spark, range(10, 13)))
+    assert t.manifest_row_count() == 10
+    t.delete_matching(
+        spark.createDataFrame([(1,)], "doc_id long"),
+        "doc_id",
+        merge_on_read=True,
+    )
+    assert t.manifest_row_count() is None  # DV pending → would overcount
+    t.apply_deletes()
+    assert t.manifest_row_count() == 9
+    t.truncate()
+    assert t.manifest_row_count() == 0
