@@ -61,10 +61,44 @@ _EXECUTION_KNOBS = {
     "cc_driver_threshold",
 }
 
+# Per-stage output-NEUTRAL knobs: fields of DedupConfig that provably
+# cannot change THAT stage's output (they only bind downstream). Keyed
+# by stage name; exclusion-based on purpose — a NEW config knob defaults
+# to "included in every stage's hash" (safe over-invalidation), never to
+# "silently ignored". The dependency facts, by code:
+#   * compute_signatures (functions/signatures.py) reads shingle_size,
+#     num_perm, seed, simhash_bits, max_shingles_per_doc — never the
+#     band/bucket/threshold/CC knobs; exact_first picks WHICH docs are
+#     signed, so it stays in.
+#   * probe_keys (operators/sig_index.py) adds lsh_bands/lsh_rows and
+#     simhash_blocks/simhash_max_hamming (the key families); bucket caps
+#     apply at candidate generation, not key generation.
+#   * build_candidates adds max_bucket_size/bucket_salt; the verify
+#     threshold binds only in build_edges; cc_max_rounds only in CC.
+# Without this, rerunning with only --threshold changed recomputed the
+# (expensive, threshold-independent) signature pass.
+_STAGE_NEUTRAL_KNOBS: dict[str, set[str]] = {
+    "signatures": {
+        "lsh_bands", "lsh_rows", "simhash_blocks", "simhash_max_hamming",
+        "jaccard_threshold", "max_bucket_size", "bucket_salt",
+        "cc_max_rounds",
+    },
+    "sig_index": {
+        "jaccard_threshold", "max_bucket_size", "bucket_salt",
+        "cc_max_rounds",
+    },
+    "candidates": {"jaccard_threshold", "cc_max_rounds"},
+    "edges": {"cc_max_rounds"},
+    "clusters": set(),
+}
 
-def config_fingerprint(cfg) -> str:
+
+def config_fingerprint(cfg, stage: str | None = None) -> str:
     """Stable hash of a dataclass-like config's RESULT-affecting public
     fields; storage knobs (where/how stages are stored) are excluded.
+    With `stage`, knobs that provably cannot affect that stage's output
+    (`_STAGE_NEUTRAL_KNOBS`) are excluded too, so e.g. a threshold-only
+    rerun reuses the signature checkpoint instead of recomputing it.
 
     Migration note: stages written by builds that still hashed the
     storage knobs carry a fingerprint this function can no longer
@@ -73,18 +107,36 @@ def config_fingerprint(cfg) -> str:
     The alternative — keeping storage knobs in the hash — silently
     invalidates every checkpoint on every workdir move or backend
     switch, forever; one visible recompute at upgrade is the cheaper
-    contract."""
+    contract. The same one-visible-recompute applies when a stage first
+    moves from whole-config to per-stage fingerprints."""
+    neutral = _STAGE_NEUTRAL_KNOBS.get(stage, set()) if stage else set()
     items = sorted(
         (k, repr(v))
         for k, v in vars(cfg).items()
         if not k.startswith("_")
         and k not in _STORAGE_KNOBS
         and k not in _EXECUTION_KNOBS
+        and k not in neutral
     )
     return hashlib.sha256(json.dumps(items).encode()).hexdigest()[:16]
 
 
 from simages_spark.table import _newest_mtime  # shared liveness signal
+
+
+def _check_fingerprint(name: str, stored, expected: str) -> None:
+    """Consumer-side staleness guard: a downstream stage that READS a
+    stored stage (cli `cluster` reading `signatures`/`candidates`) must
+    refuse output computed under other config knobs — without this,
+    get_or_compute's producer-side guard could be bypassed by running
+    stages across config changes and silently mixing them."""
+    if stored != expected:
+        raise ValueError(
+            f"checkpoint stage '{name}' was computed under a different "
+            f"config (stored fingerprint {stored!r} != expected "
+            f"{expected!r}) — re-run the producing stage with the current "
+            f"config (or pass the config it was computed under)"
+        )
 
 
 def _footer_rows_and_files(path: str) -> tuple[int, int]:
@@ -160,6 +212,7 @@ class CheckpointStore:
             glob.glob(self._path(f"{name}.tmp-*"))
             + glob.glob(self._path(f"{name}.old-*"))
             + glob.glob(self._meta_path(name) + ".tmp-*")  # crashed meta tmp
+            + glob.glob(self._meta_path(name) + ".rb-*")  # crashed rollback
         ):
             try:
                 # NEWEST mtime anywhere under the dir, not the top-level
@@ -306,12 +359,18 @@ class CheckpointStore:
         shutil.rmtree(old, ignore_errors=True)
         return self.spark.read.parquet(final).drop("part_id", "stage_run_id")
 
-    def read(self, name: str) -> DataFrame:
+    def read(
+        self, name: str, expected_fingerprint: str | None = None
+    ) -> DataFrame:
         if not self.exists(name):
             raise FileNotFoundError(
                 f"checkpoint stage '{name}' not found under {self.root} — "
                 f"run the producing stage first (e.g. `signatures` before "
                 f"`candidates` before `cluster`)"
+            )
+        if expected_fingerprint is not None:
+            _check_fingerprint(
+                name, self.metrics(name).get("fingerprint"), expected_fingerprint
             )
         return self.spark.read.parquet(self._path(name)).drop(
             "part_id", "stage_run_id"
@@ -436,11 +495,22 @@ class TableCheckpointStore:
             raise
         return staged.drop("part_id", "stage_run_id")
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        expected_fingerprint: str | None = None,
+    ) -> DataFrame:
         if not self.exists(name):
             raise FileNotFoundError(
                 f"checkpoint stage '{name}' not found under {self.root} — "
                 f"run the producing stage first"
+            )
+        if expected_fingerprint is not None:
+            _check_fingerprint(
+                name,
+                self.metrics(name, version).get("fingerprint"),
+                expected_fingerprint,
             )
         return self._table(name).read(version).drop("part_id", "stage_run_id")
 

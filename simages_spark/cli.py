@@ -124,7 +124,11 @@ def main(argv: list[str] | None = None) -> int:
                          "maintenance loop: fold → expire → reclaim)")
     ap.add_argument("--new-input", help="ingest: incoming parquet path")
     ap.add_argument("--threshold", type=float, default=0.5)
-    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--topk", type=int, default=None,
+                    help="report: cap groups printed/rendered per page "
+                         "(default: the full page — a default cap below "
+                         "page-size silently hid groups the pagination "
+                         "metadata claimed to show)")
     ap.add_argument("--page", type=int, default=1, help="report: 1-based page")
     ap.add_argument("--page-size", type=int, default=25)
     ap.add_argument("--html", help="report: also write a static HTML page here")
@@ -186,6 +190,13 @@ def main(argv: list[str] | None = None) -> int:
                 "table requires an action: --delete-keys / --apply-deletes"
                 " / --rename-column / --drop-column / --history"
             )
+        # validate EVERY action's args before ANY mutation runs: a malformed
+        # --rename-column rejected only at its own step would leave the
+        # --delete-keys commit already applied by a command that "errored"
+        if args.rename_column:
+            old, _, new = args.rename_column.partition(":")
+            if not old or not new:
+                ap.error("--rename-column expects OLD:NEW")
     elif args.command == "compact":
         if not (args.stream_root or args.crawl_tables):
             ap.error("compact requires --stream-root or --crawl-tables")
@@ -197,6 +208,23 @@ def main(argv: list[str] | None = None) -> int:
                 f"--crawl-tables {args.crawl_tables!r} contains no crawl "
                 "tables (expected sig_table/ idx_table/ edges_table/)"
             )
+    elif args.command == "clear":
+        # clearing a checkpoint dir needs no corpus (and no Spark): the
+        # old gate on --input made a workdir uncleanable once its corpus
+        # path was gone
+        if not args.workdir:
+            ap.error("clear requires --workdir")
+        import shutil
+
+        shutil.rmtree(args.workdir, ignore_errors=True)
+        print(json.dumps({"cleared": args.workdir}))
+        return 0
+    elif args.command == "show":
+        if not args.input:
+            ap.error("show requires --input")
+    elif args.command in ("ingest", "probe"):
+        if not (args.input and args.workdir and args.new_input):
+            ap.error(f"{args.command} requires --input, --workdir and --new-input")
     elif not (args.input and args.workdir):
         ap.error(f"{args.command} requires --input and --workdir")
 
@@ -220,9 +248,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.apply_deletes:
             out["apply_deletes"] = t.apply_deletes()
         if args.rename_column:
-            old, _, new = args.rename_column.partition(":")
-            if not old or not new:
-                ap.error("--rename-column expects OLD:NEW")
+            old, _, new = args.rename_column.partition(":")  # pre-validated
             out["rename"] = {"version": t.rename_column(old, new)}
         if args.drop_column:
             out["drop"] = {"version": t.drop_column(args.drop_column)}
@@ -246,11 +272,13 @@ def main(argv: list[str] | None = None) -> int:
             )
             from simages_spark.streaming import _hadoop_path_exists
 
+            found = False
             for name, fn in (("sig", compact_signature_store),
                              ("idx", compact_probe_index),
                              ("edges", compact_edges_store)):
                 path = f"{args.stream_root.rstrip('/')}/{name}"
                 if _hadoop_path_exists(spark, path):
+                    found = True
                     out[name] = fn(spark, path)
             # the crawl's incremental cluster state: fold the label
             # forwarding table into members (same availableNow slot)
@@ -258,7 +286,17 @@ def main(argv: list[str] | None = None) -> int:
             if os.path.isdir(cl_root):
                 from simages_spark.operators.cluster_state import ClusterState
 
+                found = True
                 out["clusters"] = ClusterState(spark, cl_root).fold()
+            if not found:
+                # a typo'd --stream-root must error, not print {} and
+                # "succeed" — same contract as the --crawl-tables guard
+                spark.stop()
+                ap.error(
+                    f"--stream-root {args.stream_root!r} contains no "
+                    "streaming stores (expected sig/ idx/ edges/ or "
+                    "clusters/)"
+                )
         if args.crawl_tables:
             from simages_spark.table import SnapshotTable
 
@@ -296,8 +334,16 @@ def main(argv: list[str] | None = None) -> int:
     cfg = DedupConfig(jaccard_threshold=args.threshold, checkpoint_dir=args.workdir,
                       exact_first=not args.all_pairs_edges,
                       checkpoint_backend=args.checkpoint_backend)
-    fp = config_fingerprint(cfg)
-    store = make_checkpoint_store(spark, args.workdir, args.checkpoint_backend)
+    # per-stage fingerprints: each stage hashes only the knobs that can
+    # change ITS output, and every cross-stage READ passes the expected
+    # fingerprint — `cluster` after a config change refuses stale
+    # signatures/candidates instead of silently mixing configs
+    stage_fp = lambda stage: config_fingerprint(cfg, stage=stage)  # noqa: E731
+    store = (
+        make_checkpoint_store(spark, args.workdir, args.checkpoint_backend)
+        if args.workdir
+        else None  # `show` takes no workdir
+    )
     docs = _load_docs(spark, args.input)
 
     if args.command == "ingest":
@@ -310,12 +356,14 @@ def main(argv: list[str] | None = None) -> int:
 
         sig_docs = representative_docs(docs) if cfg.exact_first else docs
         sig = store.get_or_compute(
-            "signatures", lambda: compute_signatures(sig_docs, cfg), fingerprint=fp
+            "signatures",
+            lambda: compute_signatures(sig_docs, cfg),
+            fingerprint=stage_fp("signatures"),
         )
         # slim probe index rides along with the signatures so `probe`
         # batches never rescan the store's minhash/shingle payload
         store.get_or_compute(
-            "sig_index", lambda: probe_keys(sig, cfg), fingerprint=fp
+            "sig_index", lambda: probe_keys(sig, cfg), fingerprint=stage_fp("sig_index")
         )
         health = signature_metrics(sig).collect()[0].asDict()
         print(json.dumps({"signatures": sig.count(),
@@ -325,8 +373,12 @@ def main(argv: list[str] | None = None) -> int:
         from simages_spark.operators.incremental import incremental_dedup_edges
 
         new = _load_docs(spark, args.new_input)
-        sig = store.read("signatures")
-        idx = store.read("sig_index") if store.exists("sig_index") else None
+        sig = store.read("signatures", expected_fingerprint=stage_fp("signatures"))
+        idx = (
+            store.read("sig_index", expected_fingerprint=stage_fp("sig_index"))
+            if store.exists("sig_index")
+            else None
+        )
         edges = store.write(
             "probe_edges",
             incremental_dedup_edges(
@@ -344,20 +396,26 @@ def main(argv: list[str] | None = None) -> int:
             "within_batch": bool(args.within_batch),
         }))
     elif args.command == "candidates":
-        sig = store.read("signatures")
+        sig = store.read("signatures", expected_fingerprint=stage_fp("signatures"))
         cand = store.get_or_compute(
-            "candidates", lambda: build_candidates(docs, sig, cfg), fingerprint=fp
+            "candidates",
+            lambda: build_candidates(docs, sig, cfg),
+            fingerprint=stage_fp("candidates"),
         )
         metrics = lsh_metrics(sig, cfg).collect()[0].asDict()
         print(json.dumps({"candidates": cand.count(), "lsh": metrics}))
     elif args.command == "cluster":
-        sig = store.read("signatures")
-        cand = store.read("candidates")
+        sig = store.read("signatures", expected_fingerprint=stage_fp("signatures"))
+        cand = store.read("candidates", expected_fingerprint=stage_fp("candidates"))
         edges = store.get_or_compute(
-            "edges", lambda: build_edges(cand, sig, docs, cfg), fingerprint=fp
+            "edges",
+            lambda: build_edges(cand, sig, docs, cfg),
+            fingerprint=stage_fp("edges"),
         )
         clusters = store.get_or_compute(
-            "clusters", lambda: connected_components(edges, cfg), fingerprint=fp
+            "clusters",
+            lambda: connected_components(edges, cfg),
+            fingerprint=stage_fp("clusters"),
         )
         print(json.dumps({"edges": edges.count(), "clusters_rows": clusters.count()}))
     elif args.command == "substrings":
@@ -366,26 +424,42 @@ def main(argv: list[str] | None = None) -> int:
             suffix_metrics,
         )
 
+        # substring_dup_pairs reads no DedupConfig knob — its only output
+        # parameter IS min_len, so the fingerprint carries exactly that
+        # (hashing the whole config made every knob change recompute the
+        # most expensive stage for nothing)
         pairs = store.get_or_compute(
             "substring_pairs",
             lambda: substring_dup_pairs(docs, min_len=args.min_len),
-            fingerprint=f"{fp}:min_len={args.min_len}",
+            fingerprint=f"min_len={args.min_len}",
         )
         metrics = suffix_metrics(docs, args.min_len).collect()[0].asDict()
         print(json.dumps({"substring_pairs": pairs.count(), "suffix": metrics}))
     elif args.command == "report":
-        clusters = store.read("clusters")
-        groups = duplicate_groups(clusters, docs)
-        store.write("groups", groups.withColumn("items", F.to_json("items")))
+        # groups derive deterministically from (clusters, docs): checkpoint
+        # them once under the clusters fingerprint so paging through a
+        # large report is a parquet scan per view, not a recomputed
+        # corpus-join+window+collect_list per page (and per n_pages agg).
+        # Items are stored as JSON; render_html_report accepts that form.
+        groups = store.get_or_compute(
+            "groups",
+            lambda: duplicate_groups(
+                store.read(
+                    "clusters", expected_fingerprint=stage_fp("clusters")
+                ),
+                docs,
+            ).withColumn("items", F.to_json("items")),
+            fingerprint=stage_fp("clusters"),
+        )
         # paged report — reference chunks 25 groups/page
         # (duplicate_images/duplicate_finder.py:324-329)
         paged = paginate_groups(groups, args.page_size)
-        page_rows = (
-            paged.where(F.col("page") == args.page)
-            .orderBy("rank")
-            .limit(args.topk)
-            .collect()
-        )
+        page_q = paged.where(F.col("page") == args.page).orderBy("rank")
+        if args.topk is not None:
+            # explicit cap only: the old default of 10 silently dropped
+            # groups 11..page_size from a page that claimed to show them
+            page_q = page_q.limit(args.topk)
+        page_rows = page_q.collect()
         for row in page_rows:
             print(json.dumps({
                 "cluster_id": row["cluster_id"], "total": row["total"],
@@ -402,7 +476,7 @@ def main(argv: list[str] | None = None) -> int:
                     {
                         "cluster_id": r["cluster_id"],
                         "total": r["total"],
-                        "items": [it.asDict() for it in r["items"]],
+                        "items": r["items"],  # JSON string form
                     }
                     for r in page_rows
                 ],
@@ -414,16 +488,27 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(html_doc)
             print(json.dumps({"html_report": args.html, "n_pages": int(n_pages)}))
     elif args.command == "apply-policy":
-        clusters = store.read("clusters")
+        clusters = store.read(
+            "clusters", expected_fingerprint=stage_fp("clusters")
+        )
         policy = keep_first_policy(clusters, docs, cfg)
-        to_delete = policy.where(~F.col("is_keeper"))
-        store.write("to_delete", to_delete)
-        kept = docs.join(to_delete.select("doc_id"), "doc_id", "left_anti")
-        store.write("deduped_corpus", kept)
+        # rebind to the CHECKPOINTED outputs so the window-join policy is
+        # computed exactly once (the kept-join and the table delete then
+        # read the stage parquet), and take the row counts from the stage
+        # metas the writes already sealed — zero recount jobs
+        to_delete = store.write("to_delete", policy.where(~F.col("is_keeper")))
+        kept = store.write(
+            "deduped_corpus",
+            docs.join(to_delete.select("doc_id"), "doc_id", "left_anti"),
+        )
+        deleted_rows = store.metrics("to_delete")["rows"]
+        kept_rows = store.metrics("deduped_corpus")["rows"]
         out = {
-            "deleted": to_delete.count(),
-            "kept": kept.count(),
-            "total": docs.count(),
+            "deleted": deleted_rows,
+            "kept": kept_rows,
+            # every to_delete doc_id comes from the corpus, so the corpus
+            # partitions exactly into kept ∪ deleted
+            "total": deleted_rows + kept_rows,
         }
         if args.table_root:
             from simages_spark.table import SnapshotTable
@@ -438,11 +523,6 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "show":
         docs.show(20, truncate=80)
         print(json.dumps({"rows": docs.count()}))
-    elif args.command == "clear":
-        import shutil
-
-        shutil.rmtree(args.workdir, ignore_errors=True)
-        print(json.dumps({"cleared": args.workdir}))
     spark.stop()
     return 0
 

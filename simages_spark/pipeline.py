@@ -130,11 +130,15 @@ def find_duplicates(
         else None
     )
 
-    fp = config_fingerprint(cfg)
     sig_docs = representative_docs(docs) if cfg.exact_first else docs
     if store:
+        # per-stage fingerprints: a threshold-only rerun must NOT
+        # invalidate the (threshold-independent) signature checkpoint —
+        # each stage hashes only the knobs that can change ITS output
         signatures = store.get_or_compute(
-            "signatures", lambda: build_signatures(sig_docs, cfg), fingerprint=fp
+            "signatures",
+            lambda: build_signatures(sig_docs, cfg),
+            fingerprint=config_fingerprint(cfg, stage="signatures"),
         )
     else:
         # signatures feed 4 consumers (bands, simhash, verify×2): without a
@@ -150,7 +154,9 @@ def find_duplicates(
 
     # edges feed CC (iterative) and the caller — persist when not stored
     edges = (
-        store.get_or_compute("edges", _edges, fingerprint=fp)
+        store.get_or_compute(
+            "edges", _edges, fingerprint=config_fingerprint(cfg, stage="edges")
+        )
         if store
         else _edges().persist()
     )
@@ -159,7 +165,11 @@ def find_duplicates(
         return connected_components(edges, cfg)
 
     clusters = (
-        store.get_or_compute("clusters", _clusters, fingerprint=fp)
+        store.get_or_compute(
+            "clusters",
+            _clusters,
+            fingerprint=config_fingerprint(cfg, stage="clusters"),
+        )
         if store
         else _clusters()
     )

@@ -9,6 +9,7 @@ snapshot rather than leave the stage absent.
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 
@@ -115,3 +116,81 @@ def test_rename_away_failure_restores_meta_not_blamed_on_race(
     # retry succeeds
     store.write("stage", df2, fingerprint="fp2")
     assert store.read("stage").count() == 1
+
+
+def test_per_stage_fingerprints_scope_invalidation(spark, tmp_path):
+    """A threshold-only config change must NOT invalidate the
+    (threshold-independent) signature checkpoint, but MUST invalidate
+    edges/clusters; a signature-affecting change invalidates everything."""
+    from simages_spark.checkpoint import config_fingerprint
+    from simages_spark.config import DedupConfig
+
+    base = DedupConfig()
+    thresh = DedupConfig(jaccard_threshold=0.9)
+    shingle = DedupConfig(shingle_size=7)
+
+    for stage in ("signatures", "sig_index", "candidates"):
+        assert config_fingerprint(base, stage) == config_fingerprint(
+            thresh, stage
+        ), stage
+    for stage in ("edges", "clusters"):
+        assert config_fingerprint(base, stage) != config_fingerprint(
+            thresh, stage
+        ), stage
+    for stage in ("signatures", "sig_index", "candidates", "edges", "clusters"):
+        assert config_fingerprint(base, stage) != config_fingerprint(
+            shingle, stage
+        ), stage
+    # bucket caps bind at candidate generation, not key generation
+    capped = DedupConfig(max_bucket_size=50)
+    assert config_fingerprint(base, "signatures") == config_fingerprint(
+        capped, "signatures"
+    )
+    assert config_fingerprint(base, "sig_index") == config_fingerprint(
+        capped, "sig_index"
+    )
+    assert config_fingerprint(base, "candidates") != config_fingerprint(
+        capped, "candidates"
+    )
+    # unknown stage / no stage = the conservative whole-config hash
+    assert config_fingerprint(base) != config_fingerprint(thresh)
+
+
+def test_read_refuses_cross_config_stage(spark, tmp_path):
+    """Consumer-side staleness guard: read(expected_fingerprint=...) must
+    refuse a stage computed under other knobs (both backends) — the CLI
+    `cluster` command must not silently mix configs across stages."""
+    from simages_spark.checkpoint import make_checkpoint_store
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    for backend in ("dirs", "table"):
+        store = make_checkpoint_store(
+            spark, str(tmp_path / f"wd_{backend}"), backend
+        )
+        store.write("signatures", df, fingerprint="fpA")
+        assert store.read("signatures", expected_fingerprint="fpA").count() == 1
+        with pytest.raises(ValueError, match="different\\s+config"):
+            store.read("signatures", expected_fingerprint="fpB")
+
+
+def test_sweep_removes_stale_rollback_meta(spark, tmp_path):
+    """Crashed-rollback leftovers (<name>.meta.json.rb-*) must be swept
+    once stale — they previously matched no sweep pattern and leaked
+    forever."""
+    store = CheckpointStore(spark, str(tmp_path / "ckpt_rb"))
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    store.write("stage", df)
+    rb = store._meta_path("stage") + ".rb-run-0-dead"
+    with open(rb, "w") as f:
+        f.write("{}")
+    old = time.time() - 7200
+    os.utime(rb, (old, old))
+    store._sweep_stale("stage")
+    assert not os.path.exists(rb)
+    # a YOUNG rollback tmp is possibly-live and must survive
+    rb2 = store._meta_path("stage") + ".rb-run-1-live"
+    with open(rb2, "w") as f:
+        f.write("{}")
+    store._sweep_stale("stage")
+    assert os.path.exists(rb2)
+    os.remove(rb2)

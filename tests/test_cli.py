@@ -291,3 +291,79 @@ def test_cli_table_maintenance_command(spark, tmp_path, monkeypatch):
     rc = main(["table", "--table-root", root, "--drop-column", "body"])
     assert rc == 0
     assert t.read().columns == ["doc_id"]
+
+
+def test_cli_table_rejects_malformed_rename_before_any_mutation(
+    spark, tmp_path, monkeypatch
+):
+    """A malformed --rename-column must be rejected up front — previously
+    it was validated only at its own step, AFTER --delete-keys had
+    already committed, so a 'rejected' command left mutations behind."""
+    import pytest
+
+    from simages_spark.cli import main
+    from simages_spark.table import SnapshotTable
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    root = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, root)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"t{i}") for i in range(5)], "doc_id long, text string"
+        )
+    )
+    keys_path = str(tmp_path / "keys.parquet")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(keys_path)
+    v_before = t.current_version()
+
+    with pytest.raises(SystemExit):
+        main([
+            "table", "--table-root", root,
+            "--delete-keys", keys_path,
+            "--rename-column", "no-colon-here",  # malformed
+        ])
+    assert t.current_version() == v_before  # the delete did NOT run
+    assert t.read().count() == 5
+
+
+def test_cli_compact_stream_root_without_stores_errors(
+    spark, tmp_path, monkeypatch
+):
+    """A typo'd --stream-root must error, not print {} and exit 0 — the
+    same contract the --crawl-tables guard already enforced."""
+    import pytest
+
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    empty = tmp_path / "not_a_stream_root"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        main(["compact", "--stream-root", str(empty)])
+
+
+def test_cli_clear_needs_no_corpus_and_no_spark(tmp_path, capsys):
+    """clear must work with only --workdir (the corpus may be long gone)
+    and without starting a session."""
+    import json as _json
+
+    from simages_spark.cli import main
+
+    wd = tmp_path / "wd"
+    (wd / "sub").mkdir(parents=True)
+    (wd / "sub" / "f").write_text("x")
+    rc = main(["clear", "--workdir", str(wd)])
+    assert rc == 0 and not wd.exists()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert _json.loads(out) == {"cleared": str(wd)}
+
+
+def test_cli_ingest_requires_new_input():
+    """Missing --new-input must be an argparse error, not a deep Py4J
+    crash after session startup."""
+    import pytest
+
+    from simages_spark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["ingest", "--input", "/x", "--workdir", "/y"])
