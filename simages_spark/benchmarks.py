@@ -40,6 +40,19 @@ def measure_scaling(cores: int, n_docs: int, reps: int = 3) -> dict:
     Kept importable (no argparse, no sys.path mutation) so both the
     plain-python orchestrator and the spark-submit driver share it.
     """
+    from simages_spark.session import get_spark
+
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+    try:
+        return _measure_scaling_body(spark, cores, n_docs, reps)
+    finally:
+        # ALWAYS stop: a leaked session makes the next level's
+        # getOrCreate silently return this local[N] JVM — master and
+        # parallelism ignored, the "scaling" measurement quietly wrong
+        spark.stop()
+
+
+def _measure_scaling_body(spark, cores: int, n_docs: int, reps: int) -> dict:
     from simages_spark.config import DedupConfig
     from simages_spark.functions.signatures import compute_signatures
     from simages_spark.operators.connected_components import connected_components
@@ -48,10 +61,8 @@ def measure_scaling(cores: int, n_docs: int, reps: int = 3) -> dict:
         build_edges,
         representative_docs,
     )
-    from simages_spark.session import get_spark
     from simages_spark.sources.corpus import generate_pages, mint_doc_ids
 
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
     cfg = DedupConfig()
     docs = (
         mint_doc_ids(generate_pages(spark, n_docs, seed=42, partitions=cores * 4))
@@ -67,7 +78,11 @@ def measure_scaling(cores: int, n_docs: int, reps: int = 3) -> dict:
     # pipeline.
     warm = docs.limit(5000).persist()
     warm.count()
-    wsig = compute_signatures(representative_docs(warm), cfg).persist()
+    # mirror the timed loop's cfg.exact_first branch so the warmed plans
+    # are the ones measured
+    wsig = compute_signatures(
+        representative_docs(warm) if cfg.exact_first else warm, cfg
+    ).persist()
     wcand = build_candidates(warm, wsig, cfg).persist()
     wedges = build_edges(wcand, wsig, warm, cfg).persist()
     connected_components(wedges, cfg).count()
@@ -129,5 +144,4 @@ def measure_scaling(cores: int, n_docs: int, reps: int = 3) -> dict:
         "all_reps_sec": [r["elapsed_sec"] for r in all_reps],
         "import_provenance": import_provenance(),
     }
-    spark.stop()
     return out

@@ -466,11 +466,22 @@ def main(argv: list[str] | None = None) -> int:
                 "rank": row["rank"], "page": row["page"],
             }))
         if args.html:
+            import re
+
             from simages_spark.report import render_html_report
 
             n_pages = (
                 paged.agg(F.max("page").alias("m")).collect()[0]["m"] or 0
             )
+            # nav links must point at files that exist under the user's
+            # OWN naming: derive the sibling-page pattern from the actual
+            # --html filename (report.html / report_p2.html → report_p{n}
+            # .html), instead of hardcoding a convention the user never
+            # chose and producing dead links
+            base = os.path.basename(args.html)
+            m = re.match(r"^(.*?)(?:_p\d+)?\.(html?)$", base)
+            stem, ext = (m.group(1), m.group(2)) if m else (base, "html")
+            link_pattern = f"{stem}_p{{page}}.{ext}"
             html_doc = render_html_report(
                 [
                     {
@@ -483,6 +494,7 @@ def main(argv: list[str] | None = None) -> int:
                 page=args.page,
                 page_size=args.page_size,
                 n_pages=int(n_pages),
+                link_pattern=link_pattern,
             )
             with open(args.html, "w") as f:
                 f.write(html_doc)

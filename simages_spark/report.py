@@ -38,7 +38,7 @@ nav {{ margin: 1em 0; }}
 """
 
 _GROUP = """<div class="group">
-<h3>cluster {cluster_id} — {total} members</h3>
+<h3>cluster {cluster_id} — {total} members{trunc}</h3>
 <table><tr>{header}</tr>
 {rows}
 </table></div>
@@ -66,25 +66,41 @@ def render_html_report(
     page: int,
     page_size: int,
     n_pages: int,
+    link_pattern: str = "report_p{page}.html",
 ) -> str:
     """group_rows: collected dicts with cluster_id, total and optionally
-    `items` (list of member dicts, keeper first) — one report page."""
+    `items` (list of member dicts, keeper first) — one report page.
+    `link_pattern` names the sibling page files the nav links point at;
+    the CLI derives it from the actual --html filename so links are live
+    whatever the pages are called. A group whose items were capped by
+    `duplicate_groups(max_members=...)` gets an explicit "showing N of
+    total" marker — the never-silent-cap contract applies to the report
+    page too, not just `group_metrics`."""
     blocks = []
     for g in group_rows:
         items = g.get("items") or []
         if isinstance(items, str):  # checkpointed groups store items as JSON
             items = json.loads(items)
+        total = int(g["total"])
+        trunc = (
+            f" (showing {len(items)} of {total})"
+            if items and len(items) < total
+            else ""
+        )
         header, rows = _member_rows(items)
         blocks.append(
             _GROUP.format(
                 cluster_id=_html.escape(str(g["cluster_id"])),
                 total=_html.escape(str(g["total"])),
+                trunc=_html.escape(trunc),
                 header=header,
                 rows=rows,
             )
         )
     nav = " | ".join(
-        f"<b>{p}</b>" if p == page else f'<a href="report_p{p}.html">{p}</a>'
+        f"<b>{p}</b>"
+        if p == page
+        else f'<a href="{_html.escape(link_pattern.format(page=p))}">{p}</a>'
         for p in range(1, n_pages + 1)
     )
     return _PAGE.format(

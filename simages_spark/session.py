@@ -25,6 +25,13 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # resolve driver memory ONCE, honoring an extra_conf override: the
+    # -Xms below must track whatever spark.driver.memory ends up being —
+    # a pinned -Xms24g with an overridden -Xmx4g aborts the JVM at launch
+    # ("Initial heap size set to a larger value than the maximum")
+    driver_mem = (extra_conf or {}).get(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g")
+    )
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -43,7 +50,7 @@ def get_spark(
         # local mode = driver-only: give the one JVM real memory (the box
         # has 128 GiB); a small heap makes cache+execution churn/GC the
         # bottleneck long before CPU
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", driver_mem)
         # this sandbox's virtio disk has ~50ms file-metadata latency; the
         # bypass shuffle writer opens R files per map task and spends 10×
         # more time creating files than writing bytes. tmpfs local dir +
@@ -63,7 +70,7 @@ def get_spark(
         #   threads.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '24g')} "
+            f"-Xms{driver_mem} "
             "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:CICompilerCount=6",
         )
         .config("spark.ui.enabled", "false")

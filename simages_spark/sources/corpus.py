@@ -45,11 +45,16 @@ def _base_text(rng: np.random.Generator, n_tokens: int) -> list[str]:
     return [VOCAB[i] for i in rng.integers(0, len(VOCAB), n_tokens)]
 
 
-def _page_row(seed: int, idx: int, n_docs: int) -> tuple:
-    """One deterministic page. Every 8th doc is a mutation of the previous
-    base doc: idx%8==1 exact copy, ==2 near-dup (few token edits), ==3
-    shared-long-substring page; a small hot-boilerplate block repeats
-    verbatim across many docs at idx%97==0 (bucket-skew exercise)."""
+def _page_row(seed: int, idx: int) -> tuple:
+    """One deterministic page, a pure function of (seed, idx). Every 8th
+    doc is a mutation of the previous base doc: idx%8==1 exact copy, ==2
+    near-dup (few token edits), ==3 shared-long-substring page; a small
+    hot-boilerplate block repeats verbatim across many docs at idx%97==0
+    (bucket-skew exercise). The footer only lands on NON-clustered roles:
+    within a group at most one member can hit idx%97==0, so a footer on a
+    role-0/1/2 doc silently broke the planted truth it claims (an "exact
+    duplicate" that isn't byte-identical, a near-dup pushed toward the
+    LSH S-curve knee) — ground truth must stay exact."""
     rng = _rng_for(seed, idx)
     group = idx // 8
     role = idx % 8
@@ -74,7 +79,7 @@ def _page_row(seed: int, idx: int, n_docs: int) -> tuple:
         toks = prefix + base[: max(25, len(base) // 2)]
     else:  # unrelated page
         toks = _base_text(rng, 30 + int(rng.integers(0, 90)))
-    if idx % 97 == 0:  # hot boilerplate footer shared by ~1% of docs
+    if role >= 3 and idx % 97 == 0:  # hot boilerplate footer, ~0.6% of docs
         toks = toks + ["copyright", "footer", "nav", "menu", "cookie", "policy"] * 3
     text = " ".join(toks)
     url = f"https://example-{seed}.org/page/{idx}"
@@ -92,7 +97,7 @@ def generate_pages(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_page_row(seed, int(i), n_docs) for i in pdf["id"]]
+            rows = [_page_row(seed, int(i)) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows,
                 columns=["url", "warc_ts", "html", "text", "lang", "truth_cluster"],

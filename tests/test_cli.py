@@ -367,3 +367,27 @@ def test_cli_ingest_requires_new_input():
 
     with pytest.raises(SystemExit):
         main(["ingest", "--input", "/x", "--workdir", "/y"])
+
+
+def test_render_html_report_truncation_and_links():
+    """A capped group must say 'showing N of total' (never-silent caps)
+    and nav links must follow the caller's page-file naming."""
+    from simages_spark.report import render_html_report
+
+    rows = [{
+        "cluster_id": 3,
+        "total": 5,  # capped: only 2 of 5 members materialized
+        "items": [{"doc_id": 1}, {"doc_id": 2}],
+    }]
+    out = render_html_report(
+        rows, page=2, page_size=25, n_pages=3, link_pattern="mine_p{page}.html"
+    )
+    assert "showing 2 of 5" in out
+    assert 'href="mine_p1.html"' in out and 'href="mine_p3.html"' in out
+    assert "report_p1.html" not in out
+    # un-capped groups carry no marker
+    out2 = render_html_report(
+        [{"cluster_id": 1, "total": 2, "items": [{"d": 1}, {"d": 2}]}],
+        page=1, page_size=25, n_pages=1,
+    )
+    assert "showing" not in out2

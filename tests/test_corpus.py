@@ -62,3 +62,25 @@ def test_ingest_idempotent(spark):
     assert again.count() == 0
     more = ingest(generate_pages(spark, N + 50, 42, 4), known.toDF("url"))
     assert more.count() == 50
+
+
+def test_planted_truth_is_exact_everywhere():
+    """Ground truth must be EXACT at every index: role-1 docs byte-equal
+    their role-0 base even where the hot-boilerplate footer lands
+    (idx%97==0 once broke byte-identity inside planted groups — an
+    'exact duplicate' the exact tier could never match)."""
+    from simages_spark.sources.corpus import _page_row
+
+    # cover several multiples of 97 hitting roles 0..2 (97→role 1,
+    # 194→role 2, 776→role 0) plus a plain stretch
+    for g in list(range(0, 30)) + [12, 24, 97, 388]:
+        base_idx = g * 8
+        t0 = _page_row(7, base_idx)[3]
+        t1 = _page_row(7, base_idx + 1)[3]
+        assert t0 == t1, f"group {g}: role-1 not byte-identical"
+        t2 = _page_row(7, base_idx + 2)[3]
+        a, b = set(t0.split()), set(t2.split())
+        assert len(a & b) / len(a | b) > 0.8, f"group {g}: near-dup too far"
+    # the boilerplate footer still exists on unclustered roles
+    footer_doc = _page_row(7, 97 * 4)[3]  # 388 % 8 == 4 → unrelated role
+    assert "copyright footer nav" in footer_doc
