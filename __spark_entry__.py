@@ -17,8 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from simages_spark.config import DedupConfig
 from simages_spark.functions.multimodal import media_metadata
+from simages_spark.functions.shingles import DUCKDB_TOKENS_SQL, duckdb_shingles_sql
 from simages_spark.functions.signatures import compute_signatures, perm_params_ints
 from simages_spark.functions.text_stats import (
+    STOPWORDS,
     doc_fingerprint,
     quality_columns,
     quality_filter,
@@ -409,21 +411,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-# shared SQL fragments — byte-exact mirror of functions/shingles.py
+# shared SQL fragments — DERIVED from the package's own single-source
+# mirrors (functions/shingles.py exports them for exactly this purpose);
+# a hand-copied fragment here would silently go stale when tokenization
+# or shingling changes in the package
 _TOKS = (
-    "SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), "
-    "t -> t != '') AS toks FROM documents"
+    "SELECT doc_id, "
+    + DUCKDB_TOKENS_SQL.format(text="text")
+    + " AS toks FROM documents"
 )
 _SHINGLES = f"""
   SELECT doc_id,
-    list_distinct(
-      CASE
-        WHEN len(toks) >= 5 THEN
-          [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
-        WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
-        ELSE []
-      END
-    ) AS shingles
+    {duckdb_shingles_sql()} AS shingles
   FROM ({_TOKS})
 """
 _PAIRS = f"""
@@ -538,11 +537,11 @@ _TS = (
     "ELSE doc_id % 3 END AS ts FROM documents"
 )
 
+# stopword arrays DERIVED from the package's own lists (text_stats
+# STOPWORDS) — one source of truth for engine and oracle
 _STOP = {
-    "en": "['the','a','of','and','to','in','is','it','that','for']",
-    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
-    "fr": "['le','la','les','et','est','un','une','pour','dans','que']",
-    "es": "['el','la','los','y','es','un','una','para','en','que']",
+    lang: "[" + ",".join(f"'{w}'" for w in words) + "]"
+    for lang, words in STOPWORDS.items()
 }
 _HITS = {
     lang: f"len(list_intersect(list_distinct(toks), {arr}))"
@@ -830,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_quality": f"""
             SELECT doc_id,
+                   -- null text → NULL in BOTH engines (Spark 4 ANSI
+                   -- size(NULL)=NULL; DuckDB len(NULL)=NULL) — verified
+                   -- by tests/test_text_stats.py null-parity test
                    len(toks) AS n_tokens,
                    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
                      AS n_bpe_tokens,
@@ -877,9 +879,11 @@ def oracle_sql() -> dict[str, str]:
                    len(shingles) AS num_shingles
             FROM ({_SHINGLES})
         """,
+        # media_metadata maps a NULL payload to b'' (n_bytes=0, sha of
+        # empty) — coalesce mirrors that; bare strlen/sha256 give NULLs
         "binary_metadata": (
-            "SELECT doc_id, strlen(text)::INT AS n_bytes, "
-            "sha256(text) AS sha256 FROM documents"
+            "SELECT doc_id, strlen(coalesce(text, ''))::INT AS n_bytes, "
+            "sha256(coalesce(text, '')) AS sha256 FROM documents"
         ),
         # The scale path runs LSH∪SimHash on ONE representative per
         # distinct text (cfg.exact_first) and unions the exact-hash star
@@ -950,6 +954,18 @@ def oracle_sql() -> dict[str, str]:
               AND bit_count(xor(a.simhash, b.simhash))
                   <= {CFG.simhash_max_hamming}
         """,
+        # VALIDITY BOUNDARY (applies to lsh_candidates, simhash_pairs,
+        # ann_cosine_pairs, ivf_cosine_pairs/semantic_dup_clusters,
+        # substring_pairs/spans): the operators salt-split + truncate
+        # buckets past their caps (max_bucket_size=200 / 4096 /
+        # max_docs_per_window=1000) via bucket_pairs — a recall bound the
+        # oracles deliberately do NOT mirror, because the salt is
+        # xxhash64 (not reproducible in DuckDB). The mirrors are exact
+        # while no bucket exceeds its cap — guaranteed at the driver's
+        # sf0.01/sf0.1 corpora (largest identical-text group = 2) and
+        # asserted by the operators' own truncation metrics; the capped
+        # regime is value-tested separately (tests/test_operators.py
+        # bucket-cap tests + the viral-bucket/flood soaks).
         "lsh_candidates": f"""
             SELECT a.doc_id AS src, b.doc_id AS dst
             FROM ({_MINS}) a JOIN ({_MINS}) b
@@ -1041,13 +1057,25 @@ def oracle_sql() -> dict[str, str]:
                      list_sum([q.qv[i] * c.qc[i] for i in range(1, 65)]) AS s
               FROM ({_QVEC}) q, cent c
             ),
-            c_assign AS (
+            c_assign_all AS (
               SELECT vec_id, cell FROM (
                 SELECT vec_id, cell,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY s DESC, cell) AS r
                 FROM scores
               ) WHERE r = 1
+            ),
+            -- mirror ivf_knn's hot-cell bound (max_list_size=4096, keep
+            -- lowest vec_ids) — same mirror _IVF_KMEANS_KNN carries;
+            -- without it the oracle keeps candidates the operator
+            -- deliberately truncates once any cell exceeds the cap
+            c_assign AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY vec_id) AS lr
+                FROM c_assign_all
+              ) WHERE lr <= 4096
             ),
             q_assign AS (
               SELECT vec_id AS q_id, cell FROM (
@@ -1078,13 +1106,26 @@ def oracle_sql() -> dict[str, str]:
         # replayed TRAINED-codebook IVF kNN (4 Lloyd iterations as
         # chained CTEs — see _trained_cent_ctes)
         "ivf_kmeans_knn": _IVF_KMEANS_KNN,
+        # mirror duplicate_groups' max_members item cap: the Spark filter
+        # inspects only the first 1000 members by keeper rank (warc_ts
+        # asc NULLS LAST, doc_id asc) while `total` stays the true count —
+        # an uncapped oracle diverges once a cluster exceeds the cap
         "same_time_groups": f"""
-            SELECT cluster_id, total FROM (
-              SELECT c.cluster_id, count(*) AS total,
-                     count(DISTINCT t.ts) AS n_known,
-                     sum(CASE WHEN t.ts IS NULL THEN 1 ELSE 0 END) AS n_null
+            WITH members AS (
+              SELECT c.cluster_id, t.ts,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY t.ts ASC NULLS LAST, t.doc_id ASC
+                     ) AS rk,
+                     count(*) OVER (PARTITION BY c.cluster_id) AS total
               FROM ({_CLUSTERS}) c JOIN ({_TS}) t USING (doc_id)
-              GROUP BY c.cluster_id HAVING count(*) > 1
+            )
+            SELECT cluster_id, total FROM (
+              SELECT cluster_id, max(total) AS total,
+                     count(DISTINCT ts) AS n_known,
+                     sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_null
+              FROM members WHERE rk <= 1000
+              GROUP BY cluster_id HAVING max(total) > 1
             ) WHERE n_null > 0 OR n_known <= 1
         """,
         "paged_groups": f"""

@@ -107,7 +107,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     text = F.col(text_col)
     toks = tokens_col(text)
-    n = F.size(toks)  # -1 for null text
+    n = F.size(toks)  # NULL for null text (Spark 4 ANSI; legacy gave -1)
     grams2 = F.when(
         n >= 2,
         F.transform(

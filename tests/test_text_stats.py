@@ -362,3 +362,59 @@ def test_ivf_hot_cell_absolute_bound(spark):
     m = ivf_metrics(emb, n_cells=4, nprobe=1, max_cell_size=10).collect()[0]
     assert m["n_capped_cells"] >= 1
     assert m["max_cell_n"] == 200
+
+
+def test_null_text_oracle_parity(spark, tmp_path):
+    """doc_quality / binary_metadata Spark-vs-DuckDB parity on a corpus
+    CONTAINING a null-text doc — the driver testdata has none, so the
+    null-semantics mirrors (F.size()=-1, payload NULL → b'') would
+    otherwise go unexercised by the gate."""
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", 19),
+            (2, None, "en", 0),
+            (3, "", "en", 0),
+        ],
+        "doc_id long, text string, lang string, n_chars int",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in ("doc_quality", "binary_metadata"):
+        sdf = (
+            qs[name](spark, sf)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ddf = (
+            con.sql(oracles[name])
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(sdf.columns) == sorted(sdf.columns) or set(
+            sdf.columns
+        ) == set(ddf.columns)
+        for c in sorted(sdf.columns):
+            a, b = sdf[c], ddf[c]
+            if a.dtype.kind in "fc":
+                assert np.allclose(
+                    a.astype(float), b.astype(float), equal_nan=True
+                ), f"{name}.{c}: {list(a)} vs {list(b)}"
+            else:
+                aa = a.where(a.notna(), None).tolist()
+                bb = b.where(b.notna(), None).tolist()
+                assert [str(x) for x in aa] == [
+                    str(x) for x in bb
+                ], f"{name}.{c}: {aa} vs {bb}"

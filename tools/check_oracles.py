@@ -64,6 +64,13 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # a typo'd query name must be a hard error, not an empty loop that
+    # prints "FAILURES: 0" — this tool is the correctness gate
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        print(f"known: {sorted(qs)}")
+        return 2
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
