@@ -50,7 +50,11 @@ from simages_spark.operators.joins import enrich_pairs
 from simages_spark.operators.lsh import candidate_pairs
 from simages_spark.operators.pca import embedding_covariance, pca_projection_2d
 from simages_spark.operators.simhash_join import simhash_candidates
-from simages_spark.operators.suffix import substring_dup_pairs, substring_dup_spans
+from simages_spark.operators.suffix import (
+    strip_duplicate_spans,
+    substring_dup_pairs,
+    substring_dup_spans,
+)
 from simages_spark.operators.verify import quantile_pairs
 from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.operators.groups import dedup_tier_summary
@@ -290,6 +294,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (oracle = diagonal-chain grouping of the window self-join)
         "substring_spans": lambda spark, sf: substring_dup_spans(
             _docs(spark, sf), min_len=64
+        ),
+        # J7b payoff — substring dedup as text surgery (Lee et al.
+        # ACL'22 shape): keep-first loser of every maximal run has the
+        # occurrence removed, per-doc intervals merged, splice JVM-side
+        # (oracle = spans oracle + gaps-and-islands merge + ordered
+        # string_agg splice)
+        "substring_stripped_corpus": lambda spark, sf: strip_duplicate_spans(
+            _docs_with_ts(spark, sf), min_len=64
         ),
         # ANN over embeddings (hyperplane-LSH bucketed, exact re-rank).
         # Quantized Rademacher sketches are exact integer math, so the
@@ -536,6 +548,32 @@ _TS = (
     "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL "
     "ELSE doc_id % 3 END AS ts FROM documents"
 )
+
+# brute-force maximal shared ≥64-char runs with aligned spans (the
+# substring_spans oracle; also the spans input of the strip oracle):
+# a maximal run == a maximal diagonal chain of matching 64-char windows
+_SPANS_SQL = """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) - 62)) AS i
+      FROM documents WHERE length(text) >= 64
+    ),
+    w AS (SELECT doc_id, i, substr(text, i, 64) AS win FROM pos),
+    m AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst, a.i AS ia, b.i AS ib
+      FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+    ),
+    d AS (
+      SELECT src, dst, ia, ib, ia - ib AS diag,
+             ia - row_number() OVER (PARTITION BY src, dst, ia - ib
+                                     ORDER BY ia) AS grp
+      FROM m
+    )
+    SELECT src, dst,
+           CAST(min(ia) - 1 AS INT) AS pos_src,
+           CAST(min(ib) - 1 AS INT) AS pos_dst,
+           CAST(max(ia) - min(ia) + 64 AS INT) AS run_len
+    FROM d GROUP BY src, dst, diag, grp
+"""
 
 # stopword arrays DERIVED from the package's own lists (text_stats
 # STOPWORDS) — one source of truth for engine and oracle
@@ -986,27 +1024,70 @@ def oracle_sql() -> dict[str, str]:
         # maximal shared runs with spans: a maximal run == a maximal
         # diagonal chain (consecutive ia at fixed ia-ib) of matching
         # 64-char windows; islands via the ia - row_number() trick
-        "substring_spans": """
-            WITH pos AS (
-              SELECT doc_id, text, unnest(range(1, length(text) - 62)) AS i
-              FROM documents WHERE length(text) >= 64
+        "substring_spans": _SPANS_SQL,
+        # substring dedup as text surgery (Lee et al. ACL'22 shape): the
+        # keep-first loser of every maximal run has the occurrence cut;
+        # interval merge replayed as gaps-and-islands, the splice as an
+        # ordered string_agg of kept segments + tail
+        "substring_stripped_corpus": f"""
+            WITH spans AS ({_SPANS_SQL}),
+            prio AS (
+              SELECT doc_id, CASE WHEN ts IS NULL THEN 1 ELSE 0 END AS nn,
+                     coalesce(ts, 0) AS tsv
+              FROM ({_TS})
             ),
-            w AS (SELECT doc_id, i, substr(text, i, 64) AS win FROM pos),
-            m AS (
-              SELECT a.doc_id AS src, b.doc_id AS dst, a.i AS ia, b.i AS ib
-              FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+            cuts AS (
+              SELECT CASE WHEN (ps.nn, ps.tsv, s.src) < (pd.nn, pd.tsv, s.dst)
+                          THEN s.dst ELSE s.src END AS doc_id,
+                     CASE WHEN (ps.nn, ps.tsv, s.src) < (pd.nn, pd.tsv, s.dst)
+                          THEN s.pos_dst ELSE s.pos_src END AS s,
+                     CASE WHEN (ps.nn, ps.tsv, s.src) < (pd.nn, pd.tsv, s.dst)
+                          THEN s.pos_dst ELSE s.pos_src END + s.run_len AS e
+              FROM spans s
+              JOIN prio ps ON ps.doc_id = s.src
+              JOIN prio pd ON pd.doc_id = s.dst
             ),
-            d AS (
-              SELECT src, dst, ia, ib, ia - ib AS diag,
-                     ia - row_number() OVER (PARTITION BY src, dst, ia - ib
-                                             ORDER BY ia) AS grp
-              FROM m
+            ord_ AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM cuts
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+              FROM ord_
+            ),
+            mrg AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, g
+            ),
+            seg AS (
+              SELECT doc_id, s, e,
+                     lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s)
+                       AS prev_e
+              FROM mrg
+            ),
+            agg AS (
+              SELECT seg.doc_id,
+                     string_agg(substr(d.text, seg.prev_e + 1,
+                                       seg.s - seg.prev_e),
+                                '' ORDER BY seg.s) AS head,
+                     max(seg.e) AS last_e,
+                     count(*) AS n_spans,
+                     sum(seg.e - seg.s) AS n_chars
+              FROM seg JOIN documents d USING (doc_id)
+              GROUP BY seg.doc_id
             )
-            SELECT src, dst,
-                   CAST(min(ia) - 1 AS INT) AS pos_src,
-                   CAST(min(ib) - 1 AS INT) AS pos_dst,
-                   CAST(max(ia) - min(ia) + 64 AS INT) AS run_len
-            FROM d GROUP BY src, dst, diag, grp
+            SELECT d.doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN d.text
+                        ELSE a.head || substr(d.text, a.last_e + 1) END
+                     AS text,
+                   CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans_removed,
+                   CAST(coalesce(a.n_chars, 0) AS INT) AS n_chars_removed
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # replayed hyperplane buckets + exact cosine re-rank
         "ann_cosine_pairs": f"""

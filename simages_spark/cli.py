@@ -85,8 +85,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
-        "substrings", "report", "apply-policy", "show", "clear", "compact",
-        "table",
+        "substrings", "strip-substrings", "report", "apply-policy", "show",
+        "clear", "compact", "table",
     ])
     ap.add_argument("--input", help="corpus parquet path")
     ap.add_argument("--workdir", help="checkpoint root")
@@ -435,6 +435,37 @@ def main(argv: list[str] | None = None) -> int:
         )
         metrics = suffix_metrics(docs, args.min_len).collect()[0].asDict()
         print(json.dumps({"substring_pairs": pairs.count(), "suffix": metrics}))
+    elif args.command == "strip-substrings":
+        from simages_spark.operators.suffix import (
+            strip_duplicate_spans,
+            substring_dup_spans,
+        )
+
+        # spans and the stripped corpus depend on min_len only (same
+        # contract as the `substrings` stage); spans checkpoint is
+        # shared with any later re-strip at the same min_len
+        spans = store.get_or_compute(
+            "substring_spans",
+            lambda: substring_dup_spans(docs, min_len=args.min_len),
+            fingerprint=f"min_len={args.min_len}",
+        )
+        stripped = store.get_or_compute(
+            "stripped_corpus",
+            lambda: strip_duplicate_spans(
+                docs, min_len=args.min_len, spans=spans
+            ),
+            fingerprint=f"min_len={args.min_len}",
+        )
+        summary = stripped.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_spans_removed").alias("spans_removed"),
+            F.sum("n_chars_removed").alias("chars_removed"),
+        ).collect()[0]
+        print(json.dumps({
+            "stripped_corpus": summary["docs"],
+            "spans_removed": int(summary["spans_removed"] or 0),
+            "chars_removed": int(summary["chars_removed"] or 0),
+        }))
     elif args.command == "report":
         # groups derive deterministically from (clusters, docs): checkpoint
         # them once under the clusters fingerprint so paging through a

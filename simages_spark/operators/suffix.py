@@ -341,3 +341,146 @@ def suffix_metrics(docs: DataFrame, min_len: int = 64) -> DataFrame:
         F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias("n_shared_windows"),
         F.max("n_docs").alias("max_docs_per_window"),
     )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 64,
+    max_docs_per_window: int = 1000,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Substring-level dedup as text SURGERY (Lee et al., ACL'22,
+    "Deduplicating Training Data Makes Language Models Better" — public):
+    for every maximal shared run, the keep-first LOSER of the pair has
+    its occurrence deleted from its text; the earliest doc under the
+    keeper order (warc_ts asc NULLS LAST, doc_id asc — the exact
+    `keep_first_policy` order; doc_id alone when no warc_ts column)
+    keeps every span it holds. The reference's whole-file analog is the
+    delete/Trash policy (src/simages/duplicate_finder.py:286-301); this
+    is its sub-document form — the training-data payoff of the suffix
+    pass: boilerplate is REMOVED, the unique remainder survives.
+
+    Returns one row per input doc: (doc_id, text [cleaned],
+    n_spans_removed, n_chars_removed) — unmodified docs pass through
+    with zeros. Per-doc cut intervals are merged (overlap AND touching)
+    before surgery, so stacked spans from several winners never
+    double-cut. All of it is JVM-side expression work: interval merge
+    and splice are `aggregate` folds over per-doc arrays — no Python in
+    the rewrite path (spans themselves come from the winnowed anchor
+    UDF upstream).
+
+    Guarantees (tested):
+      * the globally earliest holder of a run keeps it — at least one
+        occurrence of every duplicated substring survives the corpus;
+      * removal is arrival-order / partitioning invariant (pure
+        function of the span set and the keeper order);
+      * a doc never loses text outside its reported spans.
+
+    Same validity boundary as `substring_dup_spans`: exact while no
+    anchor window exceeds `max_docs_per_window` (truncation is surfaced
+    by `suffix_metrics`, never silent).
+    """
+    if spans is None:
+        spans = substring_dup_spans(docs, min_len, max_docs_per_window)
+
+    # keeper-order priority key, comparable as a struct: NULL warc_ts
+    # ranks last (nn=1), then ts, then doc_id (total order — ties
+    # impossible across distinct docs)
+    if "warc_ts" in docs.columns:
+        prio = docs.select(
+            "doc_id",
+            F.struct(
+                F.col("warc_ts").isNull().cast("int").alias("nn"),
+                F.coalesce(F.col("warc_ts").cast("long"), F.lit(0)).alias("ts"),
+                F.col("doc_id").alias("id"),
+            ).alias("prio"),
+        )
+    else:
+        prio = docs.select(
+            "doc_id",
+            F.struct(
+                F.lit(0).alias("nn"),
+                F.lit(0).cast("long").alias("ts"),
+                F.col("doc_id").alias("id"),
+            ).alias("prio"),
+        )
+
+    src_wins = F.col("p_src") < F.col("p_dst")
+    cuts = (
+        spans.join(
+            prio.select(
+                F.col("doc_id").alias("src"), F.col("prio").alias("p_src")
+            ),
+            "src",
+        )
+        .join(
+            prio.select(
+                F.col("doc_id").alias("dst"), F.col("prio").alias("p_dst")
+            ),
+            "dst",
+        )
+        .select(
+            F.when(src_wins, F.col("dst")).otherwise(F.col("src")).alias("doc_id"),
+            F.when(src_wins, F.col("pos_dst"))
+            .otherwise(F.col("pos_src"))
+            .alias("s"),
+            (
+                F.when(src_wins, F.col("pos_dst")).otherwise(F.col("pos_src"))
+                + F.col("run_len")
+            ).alias("e"),
+        )
+    )
+
+    last = F.element_at  # noqa: E731 — readability below
+    merged_col = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("s", "e"))),
+        F.lit(None).cast("array<struct<s:int,e:int>>"),
+        lambda acc, x: F.when(acc.isNull(), F.array(x)).otherwise(
+            F.when(
+                x["s"] <= last(acc, -1)["e"],  # overlap or touch → extend
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            last(acc, -1)["s"].alias("s"),
+                            F.greatest(last(acc, -1)["e"], x["e"]).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        ),
+    )
+    per_doc = cuts.groupBy("doc_id").agg(merged_col.alias("merged"))
+
+    text = F.col("text")
+    spliced = F.aggregate(
+        F.col("merged"),
+        F.struct(F.lit("").alias("out"), F.lit(0).alias("prev")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"], text.substr(acc["prev"] + 1, x["s"] - acc["prev"])
+            ).alias("out"),
+            x["e"].alias("prev"),
+        ),
+        lambda acc: F.concat(
+            acc["out"], text.substr(acc["prev"] + 1, F.length(text) - acc["prev"])
+        ),
+    )
+    removed_chars = F.aggregate(
+        F.col("merged"), F.lit(0), lambda a, x: a + x["e"] - x["s"]
+    )
+
+    has_cuts = F.col("merged").isNotNull()
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(has_cuts, spliced).otherwise(text).alias("text"),
+            F.when(has_cuts, F.size("merged"))
+            .otherwise(F.lit(0))
+            .alias("n_spans_removed"),
+            F.when(has_cuts, removed_chars)
+            .otherwise(F.lit(0))
+            .alias("n_chars_removed"),
+        )
+    )

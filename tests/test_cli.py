@@ -391,3 +391,55 @@ def test_render_html_report_truncation_and_links():
         page=1, page_size=25, n_pages=1,
     )
     assert "showing" not in out2
+
+
+def test_cli_strip_substrings_command(spark, tmp_path, monkeypatch, capsys):
+    """`strip-substrings`: spans + stripped corpus checkpointed under the
+    min_len fingerprint; summary JSON reports the chars removed; a rerun
+    reuses both stages (stage-skip)."""
+    import random
+
+    from simages_spark.checkpoint import CheckpointStore
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    rng = random.Random(41)
+    boiler = "".join(chr(ord("a") + rng.randrange(26)) for _ in range(90))
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (1, "first " + boiler, 0),
+            (2, "second " + boiler + " tail", 1),
+            (3, "unrelated short text", 2),
+        ],
+        "doc_id long, text string, warc_ts long",
+    ).write.parquet(corpus)
+    wd = str(tmp_path / "wd")
+
+    rc = main([
+        "strip-substrings", "--input", corpus, "--workdir", wd,
+        "--min-len", "64",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stripped_corpus"] == 3
+    assert out["spans_removed"] == 1
+    assert out["chars_removed"] >= 90  # the boiler run leaves doc 2
+
+    store = CheckpointStore(spark, wd)
+    assert store.exists("substring_spans") and store.exists("stripped_corpus")
+    stripped = {
+        r["doc_id"]: r["text"] for r in store.read("stripped_corpus").collect()
+    }
+    assert boiler in stripped[1] and boiler not in stripped[2]
+    assert stripped[3] == "unrelated short text"
+
+    # rerun at the same min_len reuses both checkpoints (stage-skip)
+    run1 = store.metrics("stripped_corpus")["run_id"]
+    rc = main([
+        "strip-substrings", "--input", corpus, "--workdir", wd,
+        "--min-len", "64",
+    ])
+    assert rc == 0
+    assert store.metrics("stripped_corpus")["run_id"] == run1

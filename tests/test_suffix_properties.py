@@ -134,3 +134,153 @@ def test_substring_spans_two_diagonals(spark):
         for r in substring_dup_spans(docs, min_len=64).collect()
     }
     assert got == {(10, 0, 80), (10, 85, 80)}
+
+
+def _py_strip(rows: dict, spans: list) -> dict:
+    """Pure-Python reference for strip_duplicate_spans: loser pick by the
+    keeper order, interval merge (overlap + touch), splice."""
+
+    def prio(d):
+        ts = rows[d][1]
+        return (1 if ts is None else 0, ts if ts is not None else 0, d)
+
+    cuts: dict[int, list] = {}
+    for src, dst, ps, pd_, rl in spans:
+        loser, pos = (dst, pd_) if prio(src) < prio(dst) else (src, ps)
+        cuts.setdefault(loser, []).append((pos, pos + rl))
+    out = {}
+    for d, (text, _) in rows.items():
+        merged: list[tuple[int, int]] = []
+        for s, e in sorted(cuts.get(d, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, prev = [], 0
+        for s, e in merged:
+            kept.append(text[prev:s])
+            prev = e
+        kept.append(text[prev:])
+        out[d] = (
+            "".join(kept),
+            len(merged),
+            sum(e - s for s, e in merged),
+        )
+    return out
+
+
+def _strip_corpus(seed: int):
+    """Randomized corpus with planted shared blocks: multiple winners per
+    loser, overlapping/touching cuts, null and tied warc_ts."""
+    import random
+
+    rng = random.Random(seed)
+    blocks = [
+        "".join(chr(ord("a") + rng.randrange(26)) for _ in range(rng.randrange(70, 101)))
+        for _ in range(6)
+    ]
+    rows = {}
+    for d in range(1, 21):
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.6:
+                parts.append(blocks[rng.randrange(len(blocks))])
+            else:
+                parts.append(
+                    "".join(
+                        chr(ord("A") + rng.randrange(26))
+                        for _ in range(rng.randrange(5, 40))
+                    )
+                )
+        ts = None if d % 7 == 0 else d % 3  # nulls + ties (doc_id breaks)
+        rows[d] = ("".join(parts), ts)
+    return rows
+
+
+def test_strip_duplicate_spans_matches_python_reference(spark):
+    """Operator output == pure-Python reference (loser pick + interval
+    merge + splice) applied to the SAME span set, on a randomized corpus
+    with stacked/overlapping cuts and null/tied timestamps."""
+    from simages_spark.operators.suffix import (
+        strip_duplicate_spans,
+        substring_dup_spans,
+    )
+
+    for seed in (3, 17):
+        rows = _strip_corpus(seed)
+        docs = spark.createDataFrame(
+            [(d, t, ts) for d, (t, ts) in rows.items()],
+            "doc_id long, text string, warc_ts long",
+        )
+        spans_df = substring_dup_spans(docs, min_len=64)
+        spans = [
+            (r["src"], r["dst"], r["pos_src"], r["pos_dst"], r["run_len"])
+            for r in spans_df.collect()
+        ]
+        assert spans, f"seed {seed} planted no shared runs"
+        expect = _py_strip(rows, spans)
+        got = {
+            r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+            for r in strip_duplicate_spans(docs, min_len=64).collect()
+        }
+        assert got == expect
+
+
+def test_strip_earliest_keeps_and_partition_invariance(spark):
+    """The globally earliest holder of a run keeps it (at least one
+    occurrence of every duplicated block survives), and the output is
+    invariant under repartitioning."""
+    from simages_spark.operators.suffix import strip_duplicate_spans
+
+    import random
+
+    rng = random.Random(23)
+    boiler = "".join(chr(ord("a") + rng.randrange(26)) for _ in range(90))
+    docs = spark.createDataFrame(
+        [
+            (1, "keep " + boiler + " one", 5),   # earliest holder
+            (2, boiler, 7),                        # fully consumed
+            (3, "pre" + boiler + "post", None),   # null ts ranks last
+        ],
+        "doc_id long, text string, warc_ts long",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_spans(docs, min_len=64).collect()
+    }
+    assert boiler in out[1]  # earliest keeps
+    assert out[2] == ""  # entire text was the duplicated run
+    assert boiler not in out[3]
+    assert sum(boiler in t for t in out.values()) == 1
+
+    out7 = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_spans(docs.repartition(7), min_len=64).collect()
+    }
+    assert out7 == out
+
+
+def test_strip_touching_cuts_merge_once(spark):
+    """Two spans from different winners that touch inside the loser merge
+    to ONE removed interval (no double count, no seam chars lost)."""
+    from simages_spark.operators.suffix import strip_duplicate_spans
+
+    import random
+
+    rng = random.Random(31)
+    a = "".join(chr(ord("a") + rng.randrange(26)) for _ in range(70))
+    b = "".join(chr(ord("A") + rng.randrange(26)) for _ in range(70))
+    docs = spark.createDataFrame(
+        [
+            (1, a, 0),           # winner of run a
+            (2, b, 0),           # winner of run b
+            (3, "L" + a + b + "R", 9),  # loser: cuts [1,71) and [71,141) touch
+        ],
+        "doc_id long, text string, warc_ts long",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_chars_removed"])
+        for r in strip_duplicate_spans(docs, min_len=64).collect()
+    }
+    assert out[3] == ("LR", 1, 140)
+    assert out[1] == (a, 0, 0) and out[2] == (b, 0, 0)
