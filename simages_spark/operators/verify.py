@@ -39,19 +39,32 @@ def _jaccard_edges(
     (src, dst, jaccard). Inner joins reproduce the reference's
     drop-if-missing enrichment semantics
     (reference: src/simages/duplicate_finder.py:162-164)."""
+    # The payload side is pinned to sort-merge (hint("merge")): its rows
+    # are dominated by the shingle-hash ARRAY, and Catalyst's static
+    # size estimate prices an array<long> at ArrayType.defaultSize (a
+    # few bytes) — an unmaterialized in-memory signatures chain (no
+    # parquet footer, cache not yet built) therefore looks broadcastable
+    # at ANY corpus size. Measured failure: at 10M docs the planner
+    # auto-broadcast the ~5 GB payload side and the broadcast collect
+    # blew spark.driver.maxResultSize (the 10M profile run only survived
+    # because its cache was materialized BEFORE planning — accurate
+    # stats, and Spark then picks SMJ on its own). SMJ is what this join
+    # wants at target scale anyway: spillable, AQE skew-split applies
+    # (the hot-doc posture documented above), and bucketed-signature
+    # layouts still elide the exchange under SMJ.
     edges = (
         candidates.join(
             sets.select(
                 F.col("doc_id").alias("src"),
                 F.col("shingle_hashes").alias("h_src"),
-            ),
+            ).hint("merge"),
             "src",
         )
         .join(
             sets.select(
                 F.col("doc_id").alias("dst"),
                 F.col("shingle_hashes").alias("h_dst"),
-            ),
+            ).hint("merge"),
             "dst",
         )
         # guard the denominator: a pair of zero-shingle docs (null/

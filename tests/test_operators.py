@@ -350,3 +350,28 @@ def test_ivf_trained_codebook_deterministic_and_better(spark):
         totals["trained"] += r_t
     assert totals["trained"] > totals["naive"]
     truth.unpersist()
+
+
+def test_verify_payload_side_never_broadcast(spark):
+    """The verify joins' shingle-payload side must be sort-merge, never
+    broadcast: Catalyst prices an array<long> at ArrayType.defaultSize
+    (bytes), so an UNMATERIALIZED in-memory signatures chain looks
+    broadcastable at any corpus size — at 10M docs the auto-broadcast of
+    the ~5 GB payload side blew spark.driver.maxResultSize. The
+    hint("merge") in _jaccard_edges pins the spillable strategy the join
+    wants at target scale (AQE skew-split applies to SMJ)."""
+    import re
+
+    from simages_spark.pipeline import find_duplicates
+    from simages_spark.sources.corpus import generate_pages, mint_doc_ids
+
+    docs = mint_doc_ids(generate_pages(spark, 2000, seed=42)).select(
+        "doc_id", "text"
+    )  # mapInPandas chain: no parquet footer, no materialized cache
+    res = find_duplicates(docs, CFG)
+    res.edges.count()
+    plan = res.edges._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"BroadcastHashJoin[^\n]*h_(src|dst)", plan), plan
+    assert re.search(r"SortMergeJoin", plan)
+    res.signatures.unpersist()
+    res.edges.unpersist()
