@@ -44,9 +44,17 @@ def main() -> None:
     shutil.rmtree(ROOT, ignore_errors=True)
     sig_dir, idx_dir, edg_dir = f"{ROOT}/sig", f"{ROOT}/idx", f"{ROOT}/edges"
 
-    docs = mint_doc_ids(generate_pages(spark, total, seed=42)).select(
-        "doc_id", "text"
+    # persist: every batch filter and the from-scratch comparison read
+    # the corpus — without the cache each one re-runs the generator UDF
+    # over ALL `total` docs (at 10M that dominated every batch wall),
+    # and the comparison plans against a stats-less UDF chain (parity
+    # with tools/profile_1m.py, which also persists)
+    docs = (
+        mint_doc_ids(generate_pages(spark, total, seed=42))
+        .select("doc_id", "text")
+        .persist()
     )
+    docs.count()
     per = total // k
     t_loop = 0.0
     t_inc_total = 0.0
