@@ -58,6 +58,13 @@ from simages_spark.operators.suffix import (
 from simages_spark.operators.verify import quantile_pairs
 from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.operators.groups import dedup_tier_summary
+from simages_spark.operators.curation import (
+    SAMPLE_MOD,
+    decontamination_report,
+    sample_key_sql,
+    stratified_sample,
+    token_budget_mix,
+)
 from simages_spark.pipeline import find_duplicates
 from simages_spark.relational import (
     brand_volume,
@@ -70,6 +77,36 @@ from simages_spark.streaming import windowed_event_counts
 
 CFG = DedupConfig()
 TAU = CFG.jaccard_threshold
+
+# ---- curation-query constants (shared verbatim by the Spark queries
+# and the generated oracle SQL below so the two cannot drift) ----
+# decontamination: the "benchmark suite" is the deterministic eval split
+EVAL_SPLIT_MOD = 7
+# stratified sampling: per-lang keep rates (thresholds are integer
+# floor(rate * SAMPLE_MOD) — no float crosses an engine boundary)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+# token-budget mix: per-source token budgets (sf-independent constants)
+MIX_BUDGETS = {f"src{i}": 400 + 100 * (i % 4) for i in range(20)}
+MIX_DEFAULT_BUDGET = 0
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * SAMPLE_MOD)}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_MOD)} END"
+    )
+
+
+def _budget_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{src}' THEN {budget}"
+        for src, budget in sorted(MIX_BUDGETS.items())
+    )
+    return f"CASE source {whens} ELSE {MIX_DEFAULT_BUDGET} END"
 
 
 def _docs_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +452,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_cells=16,
             nprobe=2,
             centroids=ivf_centroids_trained(_emb(spark, sf), 16, n_iters=4),
+        ),
+        # ---------------- corpus curation (post-dedup assembly) ----------
+        # benchmark decontamination: corpus docs sharing any 5-gram
+        # shingle with the deterministic eval split (broadcast benchmark
+        # grams; one map-side explode + one partial-agg shuffle)
+        "decontamination": lambda spark, sf: decontamination_report(
+            _docs(spark, sf).where(F.col("doc_id") % EVAL_SPLIT_MOD != 0),
+            _docs(spark, sf).where(F.col("doc_id") % EVAL_SPLIT_MOD == 0),
+            k=CFG.shingle_size,
+            max_shingles=CFG.max_shingles_per_doc,
+        ),
+        # deterministic per-lang downsampling (pure map, zero shuffles;
+        # keep decision a property of the row, not the engine)
+        "stratified_sample": lambda spark, sf: stratified_sample(
+            _docs(spark, sf), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+        ).select("doc_id", "lang", "source", "n_chars", "sample_key"),
+        # per-source token-budget mix via the two-phase distributed
+        # prefix sum (NOT Window.partitionBy(source) — that serializes
+        # each source through one task at any cluster size)
+        "token_budget_mix": lambda spark, sf: token_budget_mix(
+            _docs(spark, sf), MIX_BUDGETS, MIX_DEFAULT_BUDGET
         ),
     }
 
@@ -1187,6 +1245,44 @@ def oracle_sql() -> dict[str, str]:
         # replayed TRAINED-codebook IVF kNN (4 Lloyd iterations as
         # chained CTEs — see _trained_cent_ctes)
         "ivf_kmeans_knn": _IVF_KMEANS_KNN,
+        # benchmark decontamination over the SAME capped 60-bit shingle
+        # hashes the signature tier uses (_HASHED); benchmark = the
+        # deterministic eval split
+        "decontamination": f"""
+            WITH h AS ({_HASHED}),
+            ev AS (SELECT DISTINCT unnest(hashes) AS g FROM h
+                   WHERE doc_id % {EVAL_SPLIT_MOD} = 0),
+            c AS (SELECT doc_id, hashes FROM h
+                  WHERE doc_id % {EVAL_SPLIT_MOD} <> 0),
+            cx AS (SELECT doc_id, unnest(hashes) AS g FROM c),
+            ov AS (SELECT doc_id, count(*) AS n_overlap
+                   FROM cx JOIN ev USING (g) GROUP BY 1)
+            SELECT c.doc_id, len(c.hashes) AS n_shingles, ov.n_overlap,
+                   round(ov.n_overlap::DOUBLE / len(c.hashes), 6)
+                     AS contamination
+            FROM c JOIN ov USING (doc_id)
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source, n_chars,
+                   {sample_key_sql()} AS sample_key
+            FROM documents
+            WHERE {sample_key_sql()} < {_rate_case_sql()}
+        """,
+        "token_budget_mix": f"""
+            WITH t AS (
+              SELECT d.doc_id, d.source,
+                     coalesce(len(tk.toks), 0) AS n_tokens,
+                     {sample_key_sql("d.doc_id")} AS k
+              FROM documents d JOIN ({_TOKS}) tk USING (doc_id)
+            )
+            SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+            FROM (
+              SELECT *, SUM(n_tokens) OVER (
+                PARTITION BY source ORDER BY k, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            ) WHERE cum <= {_budget_case_sql()}
+        """,
         # mirror duplicate_groups' max_members item cap: the Spark filter
         # inspects only the first 1000 members by keeper rank (warc_ts
         # asc NULLS LAST, doc_id asc) while `total` stays the true count —
