@@ -85,8 +85,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
-        "substrings", "strip-substrings", "report", "apply-policy", "show",
-        "clear", "compact", "table",
+        "substrings", "strip-substrings", "decontaminate", "report",
+        "apply-policy", "show", "clear", "compact", "table",
     ])
     ap.add_argument("--input", help="corpus parquet path")
     ap.add_argument("--workdir", help="checkpoint root")
@@ -134,6 +134,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--html", help="report: also write a static HTML page here")
     ap.add_argument("--min-len", type=int, default=64,
                     help="substrings: minimum shared-run length (chars)")
+    ap.add_argument("--benchmark", default=None,
+                    help="decontaminate: parquet path of the benchmark "
+                         "suite (eval set) to decontaminate against; any "
+                         "corpus doc sharing a k-gram shingle with it is "
+                         "flagged in the checkpointed report")
     ap.add_argument("--within-batch", action="store_true",
                     help="probe: also emit batch-internal near-dup pairs")
     ap.add_argument("--table-root", default=None,
@@ -465,6 +470,35 @@ def main(argv: list[str] | None = None) -> int:
             "stripped_corpus": summary["docs"],
             "spans_removed": int(summary["spans_removed"] or 0),
             "chars_removed": int(summary["chars_removed"] or 0),
+        }))
+    elif args.command == "decontaminate":
+        from simages_spark.operators.curation import decontamination_report
+
+        if not args.benchmark:
+            ap.error("decontaminate requires --benchmark")
+        bench = _load_docs(spark, args.benchmark)
+        # output depends on (k, cap, benchmark identity) — the corpus
+        # input is the store's own staleness-guarded input, the
+        # benchmark is this stage's extra input so its path joins the
+        # fingerprint (a changed benchmark = a different stage output)
+        report = store.get_or_compute(
+            "decontamination",
+            lambda: decontamination_report(
+                docs,
+                bench,
+                k=cfg.shingle_size,
+                max_shingles=cfg.max_shingles_per_doc,
+            ),
+            fingerprint=(
+                f"k={cfg.shingle_size},cap={cfg.max_shingles_per_doc},"
+                f"benchmark={args.benchmark}"
+            ),
+        )
+        flagged = report.count()
+        print(json.dumps({
+            "contaminated_docs": flagged,
+            "corpus_docs": docs.count(),
+            "benchmark_docs": bench.count(),
         }))
     elif args.command == "report":
         # groups derive deterministically from (clusters, docs): checkpoint

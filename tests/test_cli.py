@@ -443,3 +443,58 @@ def test_cli_strip_substrings_command(spark, tmp_path, monkeypatch, capsys):
     ])
     assert rc == 0
     assert store.metrics("stripped_corpus")["run_id"] == run1
+
+
+def test_cli_decontaminate_command(spark, tmp_path, monkeypatch, capsys):
+    """`decontaminate`: flags corpus docs sharing 5-gram shingles with the
+    benchmark parquet; report checkpointed under a (k, cap, benchmark)
+    fingerprint; a changed benchmark path recomputes."""
+    from simages_spark.checkpoint import CheckpointStore
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    leak = "the exact question text of a held out benchmark item"
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (1, "ordinary page about something else entirely today", 0),
+            (2, "prefix words then " + leak + " then more", 1),
+            (3, "another clean page with its own words only", 2),
+        ],
+        "doc_id long, text string, warc_ts long",
+    ).write.parquet(corpus)
+    bench = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(100, leak)], "doc_id long, text string").write.parquet(
+        bench
+    )
+    bench2 = str(tmp_path / "bench2.parquet")
+    spark.createDataFrame(
+        [(200, "completely disjoint benchmark content here now")],
+        "doc_id long, text string",
+    ).write.parquet(bench2)
+    wd = str(tmp_path / "wd")
+
+    rc = main([
+        "decontaminate", "--input", corpus, "--workdir", wd,
+        "--benchmark", bench,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {
+        "contaminated_docs": 1, "corpus_docs": 3, "benchmark_docs": 1,
+    }
+    store = CheckpointStore(spark, wd)
+    flagged = store.read("decontamination").collect()
+    assert [r["doc_id"] for r in flagged] == [2]
+    assert flagged[0]["n_overlap"] >= 1
+
+    # a different benchmark = a different fingerprint: stage recomputes
+    # and doc 2 is no longer flagged
+    rc = main([
+        "decontaminate", "--input", corpus, "--workdir", wd,
+        "--benchmark", bench2,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["contaminated_docs"] == 0
