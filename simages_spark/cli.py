@@ -477,10 +477,14 @@ def main(argv: list[str] | None = None) -> int:
         if not args.benchmark:
             ap.error("decontaminate requires --benchmark")
         bench = _load_docs(spark, args.benchmark)
-        # output depends on (k, cap, benchmark identity) — the corpus
-        # input is the store's own staleness-guarded input, the
-        # benchmark is this stage's extra input so its path joins the
-        # fingerprint (a changed benchmark = a different stage output)
+        # output depends on (k, cap, benchmark identity) — the benchmark
+        # is this stage's extra input, so its path AND content identity
+        # (newest mtime under the path) join the fingerprint: a changed
+        # benchmark, even overwritten in place at the same path, is a
+        # different stage output and forces a recompute
+        from simages_spark.table import _newest_mtime
+
+        bench_id = f"{args.benchmark}@{_newest_mtime(args.benchmark):.6f}"
         report = store.get_or_compute(
             "decontamination",
             lambda: decontamination_report(
@@ -491,7 +495,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             fingerprint=(
                 f"k={cfg.shingle_size},cap={cfg.max_shingles_per_doc},"
-                f"benchmark={args.benchmark}"
+                f"benchmark={bench_id}"
             ),
         )
         flagged = report.count()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import shutil
 
 from simages_spark.checkpoint import CheckpointStore
 from simages_spark.config import DedupConfig
@@ -498,3 +499,18 @@ def test_cli_decontaminate_command(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["contaminated_docs"] == 0
+
+    # an IN-PLACE overwrite at the same path is also a different
+    # benchmark: content identity (newest mtime) joins the fingerprint,
+    # so the stale clean report is not reused
+    shutil.rmtree(bench2)
+    spark.createDataFrame(
+        [(200, "prefix " + leak + " suffix")], "doc_id long, text string"
+    ).write.parquet(bench2)
+    rc = main([
+        "decontaminate", "--input", corpus, "--workdir", wd,
+        "--benchmark", bench2,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["contaminated_docs"] == 1
