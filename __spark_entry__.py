@@ -65,6 +65,11 @@ from simages_spark.operators.curation import (
     stratified_sample,
     token_budget_mix,
 )
+from simages_spark.operators.line_dedup import (
+    duckdb_segments_cte,
+    line_dup_stats,
+    line_deduped_corpus,
+)
 from simages_spark.pipeline import find_duplicates
 from simages_spark.relational import (
     brand_volume,
@@ -473,6 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each source through one task at any cluster size)
         "token_budget_mix": lambda spark, sf: token_budget_mix(
             _docs(spark, sf), MIX_BUDGETS, MIX_DEFAULT_BUDGET
+        ),
+        # segment(line)-level corpus-wide dedup — the CCNet/RefinedWeb
+        # boilerplate tier: fixed 10-token windows, keep-first per md5
+        # of the window corpus-wide (election = groupBy+min partial agg,
+        # NOT a per-key window — hot boilerplate keys reduce map-side)
+        "line_dup_stats": lambda spark, sf: line_dup_stats(_docs(spark, sf)),
+        "line_deduped_corpus": lambda spark, sf: line_deduped_corpus(
+            _docs(spark, sf)
         ),
     }
 
@@ -1282,6 +1295,57 @@ def oracle_sql() -> dict[str, str]:
                 ROWS UNBOUNDED PRECEDING) AS cum
               FROM t
             ) WHERE cum <= {_budget_case_sql()}
+        """,
+        # segment(line)-level dedup: the segmentation CTE is GENERATED by
+        # the operator module (duckdb_segments_cte) from the same window
+        # spec the Spark side runs — keep-first election + per-doc rollup
+        # replayed relationally
+        "line_dup_stats": f"""
+            WITH occ AS ({duckdb_segments_cte()}),
+            win AS (
+              SELECT seg, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+              FROM occ GROUP BY seg
+            ),
+            marked AS (
+              SELECT o.doc_id,
+                     CASE WHEN o.doc_id = win.w.doc_id
+                           AND o.pos = win.w.pos
+                          THEN 0 ELSE 1 END AS is_dup
+              FROM occ o JOIN win ON o.seg = win.seg
+            ),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_segments,
+                     sum(is_dup) AS n_dup_segments
+              FROM marked GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_segments, 0) AS n_segments,
+                   coalesce(p.n_dup_segments, 0) AS n_dup_segments,
+                   round(p.n_dup_segments::DOUBLE / p.n_segments, 6)
+                     AS dup_segment_ratio
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "line_deduped_corpus": f"""
+            WITH occ AS ({duckdb_segments_cte()}),
+            win AS (
+              SELECT seg, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+              FROM occ GROUP BY seg
+            ),
+            kept AS (
+              SELECT o.doc_id, o.pos, o.seg
+              FROM occ o JOIN win ON o.seg = win.seg
+              WHERE o.doc_id = win.w.doc_id AND o.pos = win.w.pos
+            ),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(seg, ' ' ORDER BY pos) AS text_deduped,
+                     count(*) AS n_segments_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(r.text_deduped, '') AS text_deduped,
+                   coalesce(r.n_segments_kept, 0) AS n_segments_kept
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         # mirror duplicate_groups' max_members item cap: the Spark filter
         # inspects only the first 1000 members by keeper rank (warc_ts
