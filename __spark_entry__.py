@@ -65,6 +65,12 @@ from simages_spark.operators.curation import (
     stratified_sample,
     token_budget_mix,
 )
+from simages_spark.functions.urls import (
+    duckdb_normalize_url_sql,
+    normalize_url_col,
+    revisit_stats,
+    with_normalized_url,
+)
 from simages_spark.operators.line_dedup import (
     duckdb_segments_cte,
     line_dup_stats,
@@ -94,6 +100,48 @@ SAMPLE_DEFAULT_RATE = 0.05
 # token-budget mix: per-source token budgets (sf-independent constants)
 MIX_BUDGETS = {f"src{i}": 400 + 100 * (i % 4) for i in range(20)}
 MIX_DEFAULT_BUDGET = 0
+
+
+# ---- synthetic crawl URLs for the canonicalization queries ----------------
+# documents has no url column, so the queries derive one deterministically
+# from (source, doc_id) — messy on purpose (scheme/host case, a default
+# port, tracking params, unsorted params, fragment, trailing slash) so the
+# normalizer has real work to do, and built so distinct doc_ids collide
+# AFTER canonicalization (doc_id%3 ∈ {0,1} variants normalize identically
+# when (source, doc_id%7, doc_id%97) match — genuine revisit groups). The
+# Spark column and the DuckDB fragment are generated side by side here so
+# they cannot drift.
+def _synth_url_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP://"),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/cat/"),
+        (d % 20).cast("string"),
+        F.lit("/p"),
+        F.floor(d / 140).cast("string"),
+        F.when(d % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1#frag"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("/")),
+    )
+
+
+# path residues (d%20, ⌊d/140⌋) are chosen so docs in the same 140-block
+# sharing d%20 (⇒ same `source`, which is src(doc_id%20) in the driver
+# testdata) collide after canonicalization when their d%3 variant is 0 or
+# 1 — the rollup sees real multi-snapshot groups, not 1-row trivia
+_SYNTH_URL_SQL = """
+    'HTTP://' || source || '.Example.COM'
+    || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+    || '/cat/' || CAST(doc_id % 20 AS VARCHAR)
+    || '/p' || CAST(CAST(floor(doc_id / 140) AS BIGINT) AS VARCHAR)
+    || CASE doc_id % 3
+         WHEN 0 THEN '/?utm_source=feed&b=2&a=1#frag'
+         WHEN 1 THEN '?a=1&b=2'
+         ELSE '/' END
+""".strip()
 
 
 def _rate_case_sql() -> str:
@@ -486,6 +534,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dup_stats": lambda spark, sf: line_dup_stats(_docs(spark, sf)),
         "line_deduped_corpus": lambda spark, sf: line_deduped_corpus(
             _docs(spark, sf)
+        ),
+        # URL canonicalization tier (the crawl-identity analog of the
+        # reference's path-normalized _id): pure per-row map, zero
+        # shuffles — the value check IS the normalizer spec
+        "normalized_urls": lambda spark, sf: _docs(spark, sf).select(
+            "doc_id",
+            _synth_url_col().alias("url"),
+            normalize_url_col(_synth_url_col()).alias("url_norm"),
+        ),
+        # revisit rollup: snapshots per canonical URL + latest crawl
+        # (doc_id as the crawl-order proxy); one partial-agg shuffle
+        "url_revisit_dedup": lambda spark, sf: revisit_stats(
+            with_normalized_url(
+                _docs(spark, sf).select("doc_id", _synth_url_col().alias("url"))
+            ),
+            order_col="doc_id",
         ),
     }
 
@@ -1346,6 +1410,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.text_deduped, '') AS text_deduped,
                    coalesce(r.n_segments_kept, 0) AS n_segments_kept
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # URL canonicalization: the messy synthetic url (shared fragment
+        # _SYNTH_URL_SQL) pushed through the module-generated normalizer
+        # mirror — the value hash checks the normalizer spec itself
+        "normalized_urls": f"""
+            SELECT doc_id, url,
+                   {duckdb_normalize_url_sql("url")} AS url_norm
+            FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+        """,
+        "url_revisit_dedup": f"""
+            SELECT url_norm, count(*) AS n_snapshots, max(doc_id) AS latest
+            FROM (
+              SELECT doc_id,
+                     {duckdb_normalize_url_sql("url")} AS url_norm
+              FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+            ) GROUP BY url_norm
         """,
         # mirror duplicate_groups' max_members item cap: the Spark filter
         # inspects only the first 1000 members by keeper rank (warc_ts
