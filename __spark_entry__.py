@@ -36,6 +36,7 @@ from simages_spark.operators.connected_components import connected_components
 from simages_spark.operators.exact import source_dup_stats, with_content_hash
 from simages_spark.operators.groups import (
     duplicate_groups,
+    keep_best_policy,
     keep_first_policy,
     paginate_groups,
     patch_annotations,
@@ -282,6 +283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             connected_components(_exact_edges(spark, sf), CFG),
             _docs(spark, sf),
             CFG,
+        ),
+        # quality-aware keeper variant: keep the LONGEST member (ties →
+        # min doc_id) — the standard refinement when near-dups are
+        # truncated variants of one page; same window shape as keep-first
+        "dedup_keep_best": lambda spark, sf: keep_best_policy(
+            connected_components(_exact_edges(spark, sf), CFG),
+            _docs(spark, sf),
         ),
         # the materialized end product: docs surviving keep-first dedup
         # AND the composed quality gate — what a training run would read
@@ -963,6 +971,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS is_keeper
             FROM ({_CLUSTERS})
+        """,
+        "dedup_keep_best": f"""
+            SELECT doc_id, cluster_id, rk = 1 AS is_keeper
+            FROM (
+              SELECT c.doc_id, c.cluster_id,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC NULLS LAST, c.doc_id ASC
+                     ) AS rk
+              FROM ({_CLUSTERS}) c JOIN documents d ON c.doc_id = d.doc_id
+            )
         """,
         "training_corpus": f"""
             WITH clus AS ({_CLUSTERS}),

@@ -9,7 +9,7 @@ as declarative groupBy/window plans.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from simages_spark.config import DedupConfig
 
@@ -172,6 +172,37 @@ def keep_first_policy(
         order.append(F.col("warc_ts").asc_nulls_last())
     order.append(F.col("doc_id").asc())
     w = Window.partitionBy("cluster_id").orderBy(*order)
+    joined = clusters.join(docs, "doc_id")
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def keep_best_policy(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score: Column | str = "n_chars",
+) -> DataFrame:
+    """Quality-aware keeper election: per cluster keep the member with
+    the HIGHEST score (default n_chars — "keep the longest copy", the
+    standard web-pipeline refinement of keep-first when near-dups are
+    truncated/boilerplate-padded variants of one page). Deterministic
+    tie-break: min doc_id. Returns (doc_id, cluster_id, is_keeper) —
+    drop-in interchangeable with keep_first_policy, so every downstream
+    consumer (DELETE policy, annotation patching, tier summary) takes
+    either.
+
+    Same plan shape as keep_first_policy: one per-cluster window — the
+    partition key is the cluster, whose size the pipeline already bounds
+    (groups.py collect caps / CC star edges), so no skew risk beyond
+    what keep_first already accepts.
+    """
+    score_col = F.col(score) if isinstance(score, str) else score
+    w = Window.partitionBy("cluster_id").orderBy(
+        score_col.desc_nulls_last(), F.col("doc_id").asc()
+    )
     joined = clusters.join(docs, "doc_id")
     return joined.select(
         "doc_id",

@@ -231,3 +231,27 @@ def test_dedup_tier_summary(spark):
     got = {r["tier"]: r["n_docs"]
            for r in dedup_tier_summary(clusters, docs).collect()}
     assert got == {"keeper": 2, "exact": 2, "near": 1}
+
+
+def test_keep_best_policy_longest_wins(spark):
+    """keep_best keeps the highest-score member (default n_chars),
+    tie-break min doc_id; drop-in shape parity with keep_first."""
+    from simages_spark.operators.groups import keep_best_policy, keep_first_policy
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 30)],
+        ["doc_id", "cluster_id"],
+    )
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 400), (3, 400), (4, 50), (5, None), (6, 7)],
+        "doc_id long, n_chars long",
+    )
+    best = {r["doc_id"]: r["is_keeper"] for r in keep_best_policy(clusters, docs).collect()}
+    # cluster 10: 2 and 3 tie at 400 → min doc_id (2) keeps, not doc 1
+    # cluster 20: NULL score loses to any known score
+    assert best == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+    first = {r["doc_id"]: r["is_keeper"] for r in keep_first_policy(clusters, docs).collect()}
+    assert first[1] and not first[2]  # the two policies genuinely differ
+    assert set(keep_best_policy(clusters, docs).columns) == set(
+        keep_first_policy(clusters, docs).columns
+    )
