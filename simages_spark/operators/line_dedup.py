@@ -107,7 +107,14 @@ def _marked_occurrences(
 ) -> DataFrame:
     occ = doc_segments(docs, words_per_segment, text_col)
     winners = segment_keepers(occ)
-    return occ.join(winners, "seg_key").withColumn(
+    # winners has the same cardinality class as occurrences (≈ one row
+    # per distinct segment) — never genuinely broadcastable beyond toy
+    # corpora, but Catalyst prices the in-memory explode→agg chain small
+    # enough to auto-broadcast at ANY corpus size (the same misestimate
+    # that blew the verify payload join at 10M — see verify.py). Pin
+    # sort-merge: spillable, AQE-skew-splittable, what accurate stats
+    # would pick anyway.
+    return occ.join(winners.hint("merge"), "seg_key").withColumn(
         "is_dup",
         (F.col("doc_id") != F.col("w_doc_id"))
         | (F.col("pos") != F.col("w_pos")),

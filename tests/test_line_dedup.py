@@ -120,3 +120,24 @@ def test_doc_segments_windows_and_empty(spark):
 
 def test_default_segment_width_is_sane():
     assert DEFAULT_WORDS_PER_SEGMENT == 10
+
+
+def test_line_dedup_winners_join_never_broadcast(spark):
+    """The marking join's winners side must stay sort-merge: it has the
+    same cardinality class as the occurrences (one row per distinct
+    segment), but Catalyst prices the unmaterialized explode→agg chain
+    small enough to auto-broadcast at any corpus size — the same
+    misestimate class that blew the verify payload join at 10M
+    (operators/verify.py). hint('merge') pins the spillable strategy."""
+    import re
+
+    from simages_spark.sources.corpus import generate_pages, mint_doc_ids
+
+    docs = mint_doc_ids(generate_pages(spark, 2000, seed=42)).select(
+        "doc_id", "text"
+    )  # mapInPandas chain: no parquet footer stats
+    out = line_dup_stats(docs, words_per_segment=W)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"BroadcastHashJoin[^\n]*seg_key", plan), plan
+    assert re.search(r"SortMergeJoin[^\n]*seg_key", plan)

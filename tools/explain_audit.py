@@ -156,6 +156,23 @@ def main() -> None:
 
     # column pruning check: a 2-column projection must not read text/html
     audit("pruned_scan", docs.select("doc_id", "lang"), full)
+
+    # URL canonicalization must be a pure map: ZERO exchanges, no joins
+    from simages_spark.functions.urls import normalize_url_col
+
+    audit(
+        "url_normalize_map",
+        docs.select(
+            "doc_id", normalize_url_col(F.concat(F.lit("http://h/"), "doc_id"))
+        ),
+        full,
+    )
+    # segment-level dedup: the keeper election must be a partial-agg
+    # HashAggregate→Exchange→HashAggregate (hot boilerplate keys reduce
+    # map-side), NOT a window; the marking join SortMergeJoin
+    from simages_spark.operators.line_dedup import line_dup_stats
+
+    audit("line_dup_stats", line_dup_stats(docs), full)
     spark.stop()
 
 
