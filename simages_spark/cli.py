@@ -85,7 +85,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="simages-spark")
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
-        "substrings", "strip-substrings", "decontaminate", "report",
+        "substrings", "strip-substrings", "line-dedup", "decontaminate",
+        "report",
         "apply-policy", "show", "clear", "compact", "table",
     ])
     ap.add_argument("--input", help="corpus parquet path")
@@ -134,6 +135,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--html", help="report: also write a static HTML page here")
     ap.add_argument("--min-len", type=int, default=64,
                     help="substrings: minimum shared-run length (chars)")
+    ap.add_argument("--segment-words", type=int, default=10,
+                    help="line-dedup: tokens per segment window (the "
+                         "'line' width for corpora without newlines)")
     ap.add_argument("--benchmark", default=None,
                     help="decontaminate: parquet path of the benchmark "
                          "suite (eval set) to decontaminate against; any "
@@ -470,6 +474,40 @@ def main(argv: list[str] | None = None) -> int:
             "stripped_corpus": summary["docs"],
             "spans_removed": int(summary["spans_removed"] or 0),
             "chars_removed": int(summary["chars_removed"] or 0),
+        }))
+    elif args.command == "line-dedup":
+        from simages_spark.operators.line_dedup import (
+            line_dup_stats,
+            line_deduped_corpus,
+        )
+
+        # both outputs depend on the segment width only (same
+        # single-knob fingerprint contract as the substring stages)
+        stats = store.get_or_compute(
+            "line_dup_stats",
+            lambda: line_dup_stats(docs, words_per_segment=args.segment_words),
+            fingerprint=f"words={args.segment_words}",
+        )
+        deduped = store.get_or_compute(
+            "line_deduped_corpus",
+            lambda: line_deduped_corpus(
+                docs, words_per_segment=args.segment_words
+            ),
+            fingerprint=f"words={args.segment_words}",
+        )
+        summary = stats.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_segments").alias("segments"),
+            F.sum("n_dup_segments").alias("dup_segments"),
+        ).collect()[0]
+        kept = deduped.agg(
+            F.sum("n_segments_kept").alias("kept")
+        ).collect()[0]
+        print(json.dumps({
+            "docs": summary["docs"],
+            "segments": int(summary["segments"] or 0),
+            "dup_segments": int(summary["dup_segments"] or 0),
+            "segments_kept": int(kept["kept"] or 0),
         }))
     elif args.command == "decontaminate":
         from simages_spark.operators.curation import decontamination_report

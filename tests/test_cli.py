@@ -514,3 +514,55 @@ def test_cli_decontaminate_command(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["contaminated_docs"] == 1
+
+
+def test_cli_line_dedup_command(spark, tmp_path, monkeypatch, capsys):
+    """`line-dedup`: stats + deduped corpus checkpointed under the
+    segment-width fingerprint; rerun stage-skips; width change recomputes."""
+    from simages_spark.checkpoint import CheckpointStore
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    boiler = "alpha beta gamma delta"  # one full 4-token window
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (1, boiler + " unique one two", 0),
+            (2, boiler + " other tail words", 1),
+            (3, "entirely different text here", 2),
+        ],
+        "doc_id long, text string, warc_ts long",
+    ).write.parquet(corpus)
+    wd = str(tmp_path / "wd")
+
+    rc = main([
+        "line-dedup", "--input", corpus, "--workdir", wd,
+        "--segment-words", "4",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 3
+    assert out["dup_segments"] == 1  # doc 2's boiler window lost to doc 1
+    assert out["segments_kept"] == out["segments"] - 1
+
+    store = CheckpointStore(spark, wd)
+    deduped = {
+        r["doc_id"]: r["text_deduped"]
+        for r in store.read("line_deduped_corpus").collect()
+    }
+    assert deduped[1].startswith(boiler)
+    assert boiler not in deduped[2]
+
+    # rerun: stage-skip; width change: recompute
+    run1 = store.metrics("line_dup_stats")["run_id"]
+    assert main([
+        "line-dedup", "--input", corpus, "--workdir", wd,
+        "--segment-words", "4",
+    ]) == 0
+    assert store.metrics("line_dup_stats")["run_id"] == run1
+    assert main([
+        "line-dedup", "--input", corpus, "--workdir", wd,
+        "--segment-words", "3",
+    ]) == 0
+    assert store.metrics("line_dup_stats")["run_id"] != run1
