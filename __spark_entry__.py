@@ -61,6 +61,7 @@ from simages_spark.operators.incremental import incremental_dedup_edges
 from simages_spark.operators.groups import dedup_tier_summary
 from simages_spark.operators.curation import (
     SAMPLE_MOD,
+    curated_corpus,
     decontamination_report,
     sample_key_sql,
     stratified_sample,
@@ -553,6 +554,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # revisit rollup: snapshots per canonical URL + latest crawl
         # (doc_id as the crawl-order proxy); one partial-agg shuffle
+        # the full curation composition (dedup → quality → decontaminate
+        # → line-dedup over survivors) — the C4/RefinedWeb assembly line
+        # as ONE value-hashed query, text surgery included
+        "curated_corpus": lambda spark, sf: curated_corpus(
+            _docs(spark, sf).where(F.col("doc_id") % EVAL_SPLIT_MOD != 0),
+            _docs(spark, sf).where(F.col("doc_id") % EVAL_SPLIT_MOD == 0),
+            connected_components(
+                bruteforce_jaccard_pairs(
+                    _docs(spark, sf).where(
+                        F.col("doc_id") % EVAL_SPLIT_MOD != 0
+                    ),
+                    CFG,
+                    threshold=TAU,
+                ),
+                CFG,
+            ),
+            k=CFG.shingle_size,
+            max_shingles=CFG.max_shingles_per_doc,
+        ),
         "url_revisit_dedup": lambda spark, sf: revisit_stats(
             with_normalized_url(
                 _docs(spark, sf).select("doc_id", _synth_url_col().alias("url"))
@@ -913,6 +933,113 @@ _REPETITION = f"""
             FROM t LEFT JOIN ts ON t.doc_id = ts.doc_id
             JOIN g ON t.doc_id = g.doc_id
         """
+
+# benchmark decontamination over the SAME capped 60-bit shingle hashes
+# the signature tier uses (_HASHED); benchmark = the deterministic eval
+# split. Shared by the decontamination query and the curated_corpus
+# composition.
+_DECON = f"""
+    WITH h AS ({_HASHED}),
+    ev AS (SELECT DISTINCT unnest(hashes) AS g FROM h
+           WHERE doc_id % {EVAL_SPLIT_MOD} = 0),
+    c AS (SELECT doc_id, hashes FROM h
+          WHERE doc_id % {EVAL_SPLIT_MOD} <> 0),
+    cx AS (SELECT doc_id, unnest(hashes) AS g FROM c),
+    ov AS (SELECT doc_id, count(*) AS n_overlap
+           FROM cx JOIN ev USING (g) GROUP BY 1)
+    SELECT c.doc_id, len(c.hashes) AS n_shingles, ov.n_overlap,
+           round(ov.n_overlap::DOUBLE / len(c.hashes), 6)
+             AS contamination
+    FROM c JOIN ov USING (doc_id)
+"""
+
+# the full curation composition: doc dedup (keep-first over exact-Jaccard
+# CC on the TRAIN SPLIT — the eval split is the benchmark, not corpus) →
+# quality gate (per-doc, so the all-documents _REPETITION fragment is
+# reused and filtered) → decontamination (≥ 0.2) → line dedup over the
+# SURVIVORS only (the election runs within the curated set). Mirrors
+# operators/curation.curation_stages stage for stage.
+_CURATED_TOKS = (
+    "SELECT doc_id, "
+    + DUCKDB_TOKENS_SQL.format(text="text")
+    + " AS toks FROM corpus"
+)
+_CURATED = f"""
+    WITH RECURSIVE corpus AS (
+      SELECT * FROM documents WHERE doc_id % {EVAL_SPLIT_MOD} <> 0
+    ),
+    sh AS (
+      SELECT doc_id, {duckdb_shingles_sql()} AS shingles
+      FROM ({_CURATED_TOKS})
+    ),
+    pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst,
+             len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+             len(a.shingles) AS na, len(b.shingles) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      WHERE n_inter::DOUBLE / (na + nb - n_inter) >= {TAU}
+    ),
+    und AS (
+      SELECT src AS u, dst AS v FROM edges
+      UNION
+      SELECT dst AS u, src AS v FROM edges
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, d.v FROM reach r JOIN und d ON r.v = d.u
+    ),
+    clus AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (PARTITION BY cluster_id)
+                 AS is_keeper
+        FROM clus
+      ) WHERE NOT is_keeper
+    ),
+    rep AS ({_REPETITION}),
+    qkept AS (
+      SELECT doc_id FROM rep
+      WHERE NOT (n_tokens < 15 OR dup_token_ratio > 0.6
+                 OR top_token_ratio > 0.25)
+    ),
+    contam AS (
+      SELECT doc_id FROM ({_DECON}) WHERE contamination >= 0.2
+    ),
+    survivors AS (
+      SELECT c.* FROM corpus c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+        AND c.doc_id IN (SELECT doc_id FROM qkept)
+        AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    occ AS ({duckdb_segments_cte(table='survivors')}),
+    win AS (
+      SELECT seg, min(struct_pack(doc_id := doc_id, pos := pos)) AS w
+      FROM occ GROUP BY seg
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.seg
+      FROM occ o JOIN win ON o.seg = win.seg
+      WHERE o.doc_id = win.w.doc_id AND o.pos = win.w.pos
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY pos) AS text_curated
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.lang,
+           coalesce(r.text_curated, '') AS text_curated,
+           length(coalesce(r.text_curated, '')) AS n_chars_curated
+    FROM survivors s LEFT JOIN rebuilt r USING (doc_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1344,20 +1471,11 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination over the SAME capped 60-bit shingle
         # hashes the signature tier uses (_HASHED); benchmark = the
         # deterministic eval split
-        "decontamination": f"""
-            WITH h AS ({_HASHED}),
-            ev AS (SELECT DISTINCT unnest(hashes) AS g FROM h
-                   WHERE doc_id % {EVAL_SPLIT_MOD} = 0),
-            c AS (SELECT doc_id, hashes FROM h
-                  WHERE doc_id % {EVAL_SPLIT_MOD} <> 0),
-            cx AS (SELECT doc_id, unnest(hashes) AS g FROM c),
-            ov AS (SELECT doc_id, count(*) AS n_overlap
-                   FROM cx JOIN ev USING (g) GROUP BY 1)
-            SELECT c.doc_id, len(c.hashes) AS n_shingles, ov.n_overlap,
-                   round(ov.n_overlap::DOUBLE / len(c.hashes), 6)
-                     AS contamination
-            FROM c JOIN ov USING (doc_id)
-        """,
+        "decontamination": _DECON,
+        # the staged composition (see _CURATED): dedup → quality →
+        # decontaminate → line-dedup over survivors, value-hashed down
+        # to the rewritten text
+        "curated_corpus": _CURATED,
         "stratified_sample": f"""
             SELECT doc_id, lang, source, n_chars,
                    {sample_key_sql()} AS sample_key

@@ -86,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=[
         "ingest", "signatures", "candidates", "cluster", "probe",
         "substrings", "strip-substrings", "line-dedup", "decontaminate",
-        "report",
+        "curate", "report",
         "apply-policy", "show", "clear", "compact", "table",
     ])
     ap.add_argument("--input", help="corpus parquet path")
@@ -138,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--segment-words", type=int, default=10,
                     help="line-dedup: tokens per segment window (the "
                          "'line' width for corpora without newlines)")
+    ap.add_argument("--contamination-max", type=float, default=0.2,
+                    help="curate: drop docs whose benchmark-shingle "
+                         "contamination is at or above this fraction")
     ap.add_argument("--benchmark", default=None,
                     help="decontaminate: parquet path of the benchmark "
                          "suite (eval set) to decontaminate against; any "
@@ -508,6 +511,47 @@ def main(argv: list[str] | None = None) -> int:
             "segments": int(summary["segments"] or 0),
             "dup_segments": int(summary["dup_segments"] or 0),
             "segments_kept": int(kept["kept"] or 0),
+        }))
+    elif args.command == "curate":
+        from simages_spark.operators.curation import curation_stages
+        from simages_spark.table import _newest_mtime
+
+        if not args.benchmark:
+            ap.error("curate requires --benchmark")
+        bench = _load_docs(spark, args.benchmark)
+        # production composition: clusters come from the checkpointed
+        # pipeline (signatures → candidates → cluster must have run at
+        # this config — same prerequisite discipline as apply-policy)
+        clusters = store.read(
+            "clusters", expected_fingerprint=stage_fp("clusters")
+        )
+        bench_id = f"{args.benchmark}@{_newest_mtime(args.benchmark):.6f}"
+        fp = (
+            f"{stage_fp('clusters')},words={args.segment_words},"
+            f"contamination={args.contamination_max},benchmark={bench_id}"
+        )
+        stages = curation_stages(
+            docs,
+            bench,
+            clusters,
+            words_per_segment=args.segment_words,
+            contamination_max=args.contamination_max,
+            k=cfg.shingle_size,
+            max_shingles=cfg.max_shingles_per_doc,
+        )
+        curated = store.get_or_compute(
+            "curated_corpus", lambda: stages["curated"], fingerprint=fp
+        )
+        summary = curated.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars_curated").alias("chars"),
+        ).collect()[0]
+        print(json.dumps({
+            "curated_docs": summary["docs"],
+            "curated_chars": int(summary["chars"] or 0),
+            "input_docs": docs.count(),
+            "dedup_dropped": stages["dedup_losers"].count(),
+            "contaminated_dropped": stages["contaminated"].count(),
         }))
     elif args.command == "decontaminate":
         from simages_spark.operators.curation import decontamination_report

@@ -235,3 +235,86 @@ def token_budget_mix(
         return
 
     return ordered.mapInPandas(run, schema=out_schema)
+
+
+def curation_stages(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    clusters: DataFrame,
+    *,
+    words_per_segment: int = 10,
+    contamination_max: float = 0.2,
+    k: int = 5,
+    max_shingles: int | None = None,
+    quality_kwargs: dict | None = None,
+) -> dict[str, DataFrame]:
+    """The full curation composition — the C4/RefinedWeb assembly line as
+    one call, each stage an already-oracle-checked operator, applied in
+    the order a real pipeline runs them (cheap whole-doc drops BEFORE the
+    expensive text surgery):
+
+      1. doc-level dedup: keep-first policy over `clusters` (callers pass
+         the pipeline's clusters — find_duplicates(...).clusters — or an
+         oracle-parity brute-force clustering);
+      2. quality gate: functions/text_stats.quality_filter;
+      3. benchmark decontamination: drop docs whose capped-shingle
+         contamination against `benchmark` is ≥ contamination_max;
+      4. segment(line)-level dedup OVER THE SURVIVORS ONLY — the election
+         runs within the curated set, so a segment whose only earlier
+         holder was itself dropped in 1–3 survives in its first remaining
+         doc (the semantics a staged pipeline actually has).
+
+    Returns every intermediate keyed by stage name; `curated` is the end
+    product (doc_id, lang, text_curated, n_chars_curated). All joins are
+    key-only semi/anti joins — the text column rides no shuffle until the
+    final line-dedup reassembly.
+    """
+    from simages_spark.functions.text_stats import quality_filter
+    from simages_spark.operators.groups import keep_first_policy
+    from simages_spark.operators.line_dedup import line_deduped_corpus
+
+    policy = keep_first_policy(clusters, docs)
+    dedup_losers = policy.where(~F.col("is_keeper")).select("doc_id")
+    quality_kept = (
+        quality_filter(docs, **(quality_kwargs or {}))
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    contaminated = decontamination_report(
+        docs, benchmark, k=k, max_shingles=max_shingles
+    ).where(F.col("contamination") >= contamination_max).select("doc_id")
+
+    survivors = (
+        docs.join(dedup_losers, "doc_id", "left_anti")
+        .join(quality_kept, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    curated = (
+        line_deduped_corpus(
+            survivors, words_per_segment=words_per_segment
+        )
+        .join(survivors.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("text_deduped").alias("text_curated"),
+            F.length("text_deduped").cast("long").alias("n_chars_curated"),
+        )
+    )
+    return {
+        "dedup_losers": dedup_losers,
+        "quality_kept": quality_kept,
+        "contaminated": contaminated,
+        "survivors": survivors,
+        "curated": curated,
+    }
+
+
+def curated_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    clusters: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """End product of curation_stages (see its docstring)."""
+    return curation_stages(docs, benchmark, clusters, **kwargs)["curated"]

@@ -190,11 +190,13 @@ def line_deduped_corpus(
 def duckdb_segments_cte(
     words_per_segment: int = DEFAULT_WORDS_PER_SEGMENT,
     tokens_sql: str | None = None,
+    table: str = "documents",
 ) -> str:
-    """DuckDB mirror of doc_segments as a CTE body over `documents`:
+    """DuckDB mirror of doc_segments as a CTE body over `table`:
     yields (doc_id, pos, seg). Single source of truth for the oracle —
     generated next to the Spark implementation so a segmentation change
-    cannot drift silently."""
+    cannot drift silently. `table` may be any relation name visible in
+    the enclosing query (e.g. a survivors CTE in the curation oracle)."""
     from simages_spark.functions.shingles import DUCKDB_TOKENS_SQL
 
     toks = tokens_sql or DUCKDB_TOKENS_SQL.format(text="text")
@@ -208,6 +210,6 @@ def duckdb_segments_cte(
              seg := array_to_string(toks[(i-1)*{w}+1:(i-1)*{w}+{w}], ' '))
            for i in range(1, CAST(ceil(len(toks)/{w}.0) AS INT) + 1)]
         ) AS u
-        FROM (SELECT doc_id, {toks} AS toks FROM documents)
+        FROM (SELECT doc_id, {toks} AS toks FROM {table})
       )
     """.strip()

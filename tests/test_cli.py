@@ -566,3 +566,47 @@ def test_cli_line_dedup_command(spark, tmp_path, monkeypatch, capsys):
         "--segment-words", "3",
     ]) == 0
     assert store.metrics("line_dup_stats")["run_id"] != run1
+
+
+def test_cli_curate_command(spark, tmp_path, monkeypatch, capsys):
+    """`curate`: the full composition over the checkpointed pipeline
+    clusters; requires cluster to have run (prerequisite discipline)."""
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = " ".join(f"word{i}" for i in range(40))
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (0, base, "en", 0),
+            (1, base, "en", 1),  # exact dup → dedup loser
+            (2, "clean and unique page with plenty of distinct words "
+                "covering the minimum token threshold easily right here",
+             "en", 2),
+            (3, "bench mark gram one two three four five six seven eight "
+                "nine ten eleven twelve", "en", 3),  # contaminated
+        ],
+        "doc_id long, text string, lang string, warc_ts long",
+    ).write.parquet(corpus)
+    benchmark = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, "bench mark gram one two three four five six seven eight "
+               "nine ten eleven twelve")],
+        "doc_id long, text string",
+    ).write.parquet(benchmark)
+    wd = str(tmp_path / "wd")
+
+    for cmd in ("signatures", "candidates", "cluster"):
+        assert main([cmd, "--input", corpus, "--workdir", wd]) == 0
+    capsys.readouterr()
+    rc = main([
+        "curate", "--input", corpus, "--workdir", wd,
+        "--benchmark", benchmark,
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["input_docs"] == 4
+    assert out["dedup_dropped"] == 1       # doc 1 loses to doc 0
+    assert out["contaminated_dropped"] == 1  # doc 3
+    assert out["curated_docs"] == 2          # docs 0 and 2 survive
