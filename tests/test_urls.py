@@ -108,3 +108,46 @@ def test_revisit_keep_latest_tie_breaks_deterministically(spark):
     assert len(kept) == 1
     # max raw url wins the tie: 'http://a.com/x?b=1&a=1' > '...?a=1&b=1'
     assert kept[0]["text"] == "v1"
+
+
+def test_normalize_url_randomized_cross_engine(spark):
+    """300 seeded-random URLs assembled from adversarial components —
+    Spark and DuckDB must normalize every one identically (the oracle
+    mirror IS the spec; any drift fails the value hash downstream)."""
+    import random
+
+    rng = random.Random(20240820)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "s3"]
+    hosts = ["Example.com", "WWW.Site.ORG", "host", "a.b.c.d", "user:P@h.io"]
+    ports = ["", ":80", ":443", ":8080", ":0"]
+    paths = ["", "/", "/A/B", "/a/b/", "/x//y///", "/%20z", "/p?inner"]
+    params = ["a=1", "B=2", "utm_source=x", "utm_campaign=y", "gclid",
+              "fbclid=z", "", "k", "k=", "=v", "a=1&b=2"]
+    frags = ["", "#f", "#a#b", "#?q=1"]
+    urls = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 4)))
+        u = (
+            rng.choice(schemes) + "://" + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths)
+            + (("?" + q) if rng.random() < 0.7 else "")
+            + rng.choice(frags)
+        )
+        if rng.random() < 0.1:
+            u = "  " + u + " "
+        if rng.random() < 0.05:
+            u = u.replace("://", ":/", 1)  # opaque passthrough class
+        urls.append(u)
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_url_col(F.col("url")).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = duckdb_normalize_url_sql("url")
+    for i, u in enumerate(urls):
+        d = con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        assert got[i] == d, (u, got[i], d)
