@@ -289,11 +289,17 @@ def curation_stages(
         .join(quality_kept, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
     )
+    # lang is metadata, not a curation input — corpora without it (bare
+    # (doc_id, text) batches) curate fine and report NULL lang
+    lang = (
+        F.col("lang") if "lang" in survivors.columns
+        else F.lit(None).cast("string").alias("lang")
+    )
     curated = (
         line_deduped_corpus(
             survivors, words_per_segment=words_per_segment
         )
-        .join(survivors.select("doc_id", "lang"), "doc_id")
+        .join(survivors.select("doc_id", lang), "doc_id")
         .select(
             "doc_id",
             "lang",

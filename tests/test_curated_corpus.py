@@ -79,3 +79,19 @@ def test_curation_stages_order_semantics(spark):
         (r["doc_id"], r["text_curated"], r["n_chars_curated"])
         for r in end.collect()
     } == {(d, t, len(t)) for d, t in curated.items()}
+
+
+def test_curated_corpus_without_lang_column(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    benchmark = spark.createDataFrame(
+        [(9, "nothing shared here at all with the corpus text")],
+        "doc_id long, text string",
+    )
+    empty_clusters = spark.createDataFrame([], "doc_id long, cluster_id long")
+    out = curated_corpus(
+        docs, benchmark, empty_clusters,
+        quality_kwargs={"min_tokens": 5},
+    ).collect()
+    assert len(out) == 1 and out[0]["lang"] is None
