@@ -198,3 +198,52 @@ def revisit_keep_latest(
     return with_norm.join(winners, ["url_norm", ts_col, url_col]).dropDuplicates(
         ["url_norm"]
     )
+
+
+def ingest_recrawl(
+    table,
+    new_pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> int:
+    """Newest-wins recrawl ingest into an ACID SnapshotTable keyed on the
+    CANONICAL url: the crawl-identity analog of the reference's
+    insert-or-update document write (src/simages/duplicate_finder.py:111-115)
+    under continuous re-fetching.
+
+      1. canonicalize + batch-internal latest-wins (revisit_keep_latest);
+      2. drop batch rows NOT newer than the stored fetch of the same
+         canonical URL — a re-delivered old crawl must never clobber a
+         newer stored page (late/duplicate WARC delivery is the norm);
+      3. one atomic `upsert` keyed on url_norm.
+
+    Scale shape: the staleness check reads ONLY (url_norm, ts) — a
+    column-pruned scan of the table joined against the (broadcast-sized)
+    batch keys; the full rows never leave the batch side. Returns the
+    committed version, or the current version unchanged (no commit) when
+    every batch row is stale. Idempotent: re-ingesting the same crawl is
+    a no-op commit-wise for rows that did not win.
+
+    The table's schema must already carry `url_norm` (first ingest
+    creates it via this function — callers never write raw-url-keyed
+    rows alongside canonical ones).
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    batch = revisit_keep_latest(new_pages, url_col, ts_col)
+    if table.current_version() is not None:
+        stored = table.read().select(
+            "url_norm", F.col(ts_col).alias("_stored_ts")
+        )
+        batch = (
+            batch.join(stored, "url_norm", "left")
+            .where(
+                F.col("_stored_ts").isNull()
+                | (F.col(ts_col) > F.col("_stored_ts"))
+            )
+            .drop("_stored_ts")
+        )
+        if batch.isEmpty():
+            return table.current_version()
+        return table.upsert(batch, key="url_norm")
+    return table.upsert(batch, key="url_norm")

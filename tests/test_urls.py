@@ -151,3 +151,45 @@ def test_normalize_url_randomized_cross_engine(spark):
     for i, u in enumerate(urls):
         d = con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
         assert got[i] == d, (u, got[i], d)
+
+
+def test_ingest_recrawl_newest_wins(spark, tmp_path):
+    """Recrawl ingest into the ACID table: canonical-url keyed, newest
+    fetch wins, re-delivered old crawls never clobber newer pages."""
+    from simages_spark.functions.urls import ingest_recrawl
+    from simages_spark.table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "pages"))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    t1, t2, t3 = (dt.datetime(2024, m, 1) for m in (1, 6, 9))
+
+    # crawl A: two pages; variant urls of the same page collapse in-batch
+    v = ingest_recrawl(t, mk([
+        ("http://A.com/x/?utm_source=1", t1, "x-old"),
+        ("http://a.com/x", t2, "x-new"),
+        ("http://b.com/y", t1, "y-1"),
+    ]))
+    assert v == 0
+    got = {r["url_norm"]: r["text"] for r in t.read().collect()}
+    assert got == {"http://a.com/x": "x-new", "http://b.com/y": "y-1"}
+
+    # crawl B: one stale re-delivery (dropped), one newer fetch (wins),
+    # one brand-new page (inserted)
+    v = ingest_recrawl(t, mk([
+        ("http://a.com/x/", t1, "x-stale"),
+        ("http://b.com/y?utm_source=z", t3, "y-2"),
+        ("http://c.com/z", t1, "z-1"),
+    ]))
+    assert v == 1
+    got = {r["url_norm"]: r["text"] for r in t.read().collect()}
+    assert got == {
+        "http://a.com/x": "x-new",
+        "http://b.com/y": "y-2",
+        "http://c.com/z": "z-1",
+    }
+
+    # crawl C: entirely stale — no new version committed
+    v = ingest_recrawl(t, mk([("http://a.com/x", t1, "x-older")]))
+    assert v == 1 and t.current_version() == 1
