@@ -274,15 +274,26 @@ def curation_stages(
     from simages_spark.operators.line_dedup import line_deduped_corpus
 
     policy = keep_first_policy(clusters, docs)
-    dedup_losers = policy.where(~F.col("is_keeper")).select("doc_id")
+    # the three decision sets are doc_id-only (8 B/row — MBs per 10^6
+    # docs) but EXPENSIVE to derive (policy window, repetition aggs,
+    # decontamination join); downstream they each appear in the curated
+    # DAG several times (survivors is rebuilt per branch of the final
+    # join tree) and callers also count them for stage attribution.
+    # Persist so each is computed once; references are dropped with the
+    # returned DataFrames and freed by the ContextCleaner.
+    dedup_losers = policy.where(~F.col("is_keeper")).select("doc_id").persist()
     quality_kept = (
         quality_filter(docs, **(quality_kwargs or {}))
         .where(F.col("keep"))
         .select("doc_id")
+        .persist()
     )
-    contaminated = decontamination_report(
-        docs, benchmark, k=k, max_shingles=max_shingles
-    ).where(F.col("contamination") >= contamination_max).select("doc_id")
+    contaminated = (
+        decontamination_report(docs, benchmark, k=k, max_shingles=max_shingles)
+        .where(F.col("contamination") >= contamination_max)
+        .select("doc_id")
+        .persist()
+    )
 
     survivors = (
         docs.join(dedup_losers, "doc_id", "left_anti")
