@@ -144,37 +144,168 @@ def _anchors_and_hashes(
     return starts, h1.view(np.int64), h2.view(np.int64)
 
 
+# --- batched anchor computation -------------------------------------------
+#
+# The per-doc path above costs ~25 small-array numpy calls per document;
+# real web docs average a few hundred characters, so call overhead (not
+# arithmetic) dominated the anchor stage (guide §4.2: hand whole batches
+# to vectorized native code). The batched path concatenates every doc of
+# an Arrow batch into ONE codepoint array and runs each step once:
+#
+#   * window hashes are OFFSET-INVARIANT: with Q[i] = Σ_{t<i} a[t]·Binv^t,
+#     (Q[i+w] − Q[i])·B^i = Σ_j a[i+j]·Binv^j — the B^i cancels the
+#     global offset exactly (odd base ⇒ invertible mod 2^64), so hashes
+#     computed at global positions are bit-identical to per-doc values;
+#   * the k-gram selection hash is the same polynomial up to the constant
+#     factor B^(K−1) (descending vs ascending powers), which is strictly
+#     monotone-irrelevant… NOT true for comparisons — so the batched path
+#     multiplies by B^(K−1) to reproduce _kgram_hashes bit for bit, and
+#     winnowing selections are unchanged;
+#   * one global sliding-window argmin serves every doc: a doc's valid
+#     k-gram positions are a contiguous global range and a w-window
+#     starting inside [off, off+m−w] never crosses a doc boundary.
+#
+# Per-doc work shrinks to two slice-views (winnow fix-ups are pure
+# gathers). Output equality with the per-doc path is asserted by
+# tests/test_suffix.py::test_batched_anchors_equal_per_doc.
+
+_CHUNK_CHAR_BUDGET = 4_000_000  # bound temp arrays to ~that many chars
+
+
+def _sliding_leftmost_argmin(h: np.ndarray, w: int) -> np.ndarray:
+    """Absolute position of the leftmost minimum of every w-window of h.
+
+    Sparse-table doubling (O(log w) contiguous vector passes) — numpy's
+    argmin over a (n, w) strided sliding view goes through a strided
+    reduce that measured ~10× slower at millions of windows. Tie-break:
+    a strictly-smaller right block wins, else the left block's position —
+    exactly the leftmost-min rule of `_winnow_select` (positions in the
+    left block are all smaller; an overlap tie appears in both blocks and
+    resolves to the left copy)."""
+    m = len(h) - w + 1
+    vals = h
+    poss = np.arange(len(h), dtype=np.int64)
+    span = 1
+    while span * 2 <= w:
+        right_v = vals[span:]
+        take = right_v < vals[: len(right_v)]
+        vals = np.where(take, right_v, vals[: len(right_v)])
+        poss = np.where(take, poss[span : span + len(right_v)], poss[: len(right_v)])
+        span *= 2
+    off = w - span
+    left_v, left_p = vals[:m], poss[:m]
+    right_v, right_p = vals[off : off + m], poss[off : off + m]
+    take = right_v < left_v
+    return np.where(take, right_p, left_p)
+
+
+def _pows_pair(base: np.uint64, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(b_pows, binv_pows) up to length n+1 for one base."""
+    return _pow_mod64(int(base), n + 1), _pow_mod64(_inv_mod64(int(base)), n + 1)
+
+
+def _anchors_batch(
+    doc_ids: np.ndarray, texts: list[str], min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_id, pos, h1, h2) arrays for a whole batch of docs.
+
+    Bit-identical to mapping _anchors_and_hashes over the docs (asserted
+    in tests); one vectorized pass over the concatenated codepoints.
+    """
+    w, win = winnow_params(min_len)
+    keep = [i for i, t in enumerate(texts) if len(t) >= min_len]
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if not keep:
+        return empty
+    big = _codepoints("".join(texts[i] for i in keep))
+    lens = np.array([len(texts[i]) for i in keep], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    n = len(big)
+
+    b1, binv1 = _pows_pair(_B1, n)
+    b2, binv2 = _pows_pair(_B2, n)
+    q1 = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(big * binv1[:n], out=q1[1:], dtype=np.uint64)
+    q2 = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(big * binv2[:n], out=q2[1:], dtype=np.uint64)
+
+    # k-gram hashes at every global position (garbage where a k-gram
+    # crosses a doc boundary — those positions are never selected below)
+    m_total = n - _K + 1
+    scale = np.uint64(pow(int(_B1), _K - 1, 2**64))
+    kg = (q1[_K : m_total + _K] - q1[:m_total]) * b1[:m_total] * scale
+
+    # global sliding-window leftmost-argmin; valid starts per doc are
+    # [off, off + m - w] with m = len - K + 1, all windows in-doc
+    gmin = _sliding_leftmost_argmin(kg, w)
+
+    # gather every doc's window range without a per-doc loop: a mask over
+    # global window-start positions, built with the range-diff trick
+    n_win = lens - _K + 1 - w + 1  # windows per doc (≥ 1 for len ≥ min_len)
+    w_starts = offs[:-1]
+    w_ends = w_starts + n_win
+    delta = np.zeros(len(gmin) + 1, dtype=np.int64)
+    np.add.at(delta, w_starts, 1)
+    np.add.at(delta, w_ends, -1)
+    mask = np.cumsum(delta[:-1]) > 0
+    sel = gmin[mask]
+    doc_idx = np.repeat(np.arange(len(keep)), n_win)
+
+    # within a doc the leftmost-min selection is monotone non-decreasing
+    # in the window start (standard winnowing property), so consecutive
+    # dedup ≡ np.unique per doc (equality asserted in tests)
+    first = np.ones(len(sel), dtype=bool)
+    if len(sel) > 1:
+        first[1:] = (sel[1:] != sel[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+    sel = sel[first]
+    doc_idx = doc_idx[first]
+    loc = sel - offs[doc_idx]
+    ok = loc <= lens[doc_idx] - win
+    sel, doc_idx, loc = sel[ok], doc_idx[ok], loc[ok]
+    if not len(sel):
+        return empty
+    h1 = (q1[sel + win] - q1[sel]) * b1[sel]
+    h2 = (q2[sel + win] - q2[sel]) * b2[sel]
+    out_ids = np.asarray(doc_ids, dtype=np.int64)[np.asarray(keep)][doc_idx]
+    return out_ids, loc, h1.view(np.int64), h2.view(np.int64)
+
+
 def anchored_windows(docs: DataFrame, min_len: int = 64) -> DataFrame:
-    """(doc_id, pos, h1, h2) at winnowing-selected anchors."""
+    """(doc_id, pos, h1, h2) at winnowing-selected anchors.
+
+    One vectorized `_anchors_batch` call per (char-bounded) chunk of the
+    Arrow batch — no per-doc numpy calls, no per-doc DataFrames (guide
+    §4.2; measured ~4× on the anchor stage at sf1.0, BENCH r06)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                pos, h1, h2 = _anchors_and_hashes(text, min_len)
-                if len(pos):
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": np.int64(doc_id),
-                                "pos": pos.astype(np.int32),
-                                "h1": h1,
-                                "h2": h2,
-                            }
-                        )
-                    )
-            yield (
-                pd.concat(frames, ignore_index=True)
-                if frames
-                else pd.DataFrame(
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            texts = pdf["text"].fillna("").tolist()
+            # chunk by char budget so the concatenated temp arrays stay
+            # bounded even with very large documents in the batch
+            i = 0
+            while i < len(texts):
+                j, chars = i, 0
+                while j < len(texts) and (
+                    j == i or chars + len(texts[j]) <= _CHUNK_CHAR_BUDGET
+                ):
+                    chars += len(texts[j])
+                    j += 1
+                d, pos, h1, h2 = _anchors_batch(ids[i:j], texts[i:j], min_len)
+                yield pd.DataFrame(
                     {
-                        "doc_id": pd.Series(dtype="int64"),
-                        "pos": pd.Series(dtype="int32"),
-                        "h1": pd.Series(dtype="int64"),
-                        "h2": pd.Series(dtype="int64"),
+                        "doc_id": d,
+                        "pos": pos.astype(np.int32),
+                        "h1": h1,
+                        "h2": h2,
                     }
                 )
-            )
+                i = j
 
     return docs.select("doc_id", "text").mapInPandas(run, schema=ANCHOR_SCHEMA)
 
@@ -182,11 +313,24 @@ def anchored_windows(docs: DataFrame, min_len: int = 64) -> DataFrame:
 def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFrame:
     """Extend each aligned anchor match to its maximal shared run and keep
     (src, dst) pairs whose best run reaches min_len. Texts are joined in
-    for candidate docs only — a tiny fraction of the corpus."""
+    for candidate docs only — a tiny fraction of the corpus.
+
+    Matches are grouped per (src, dst) BEFORE the text joins: a long
+    shared run holds an anchor every ~w/2 chars, and attaching both texts
+    to every anchor row shipped each text dozens of times through the
+    join and the Arrow boundary (guide §2.3: shuffle keys/metadata, move
+    payloads once). One row per pair carries the alignment list; inside
+    the UDF, anchors that fall inside an already-extended maximal run on
+    the same diagonal are skipped — extension through any in-run point
+    yields that same maximal run, so the emitted (dedup'd) triple set is
+    unchanged (asserted against the brute-force oracle)."""
     _, win = winnow_params(min_len)
     texts = docs.select("doc_id", "text")
+    grouped = matches.groupBy("src", "dst").agg(
+        F.collect_list(F.struct("pos_src", "pos_dst")).alias("aligns")
+    )
     joined = (
-        matches.join(
+        grouped.join(
             texts.select(
                 F.col("doc_id").alias("src"), F.col("text").alias("text_src")
             ),
@@ -198,33 +342,58 @@ def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFr
             ),
             "dst",
         )
-        .select("src", "dst", "pos_src", "pos_dst", "text_src", "text_dst")
+        .select("src", "dst", "aligns", "text_src", "text_dst")
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_src, out_dst, out_ps, out_pd, out_len = [], [], [], [], []
-            for src, dst, pa, pb, ta, tb in zip(
-                pdf["src"], pdf["dst"], pdf["pos_src"], pdf["pos_dst"],
+            decoded: dict[int, np.ndarray] = {}
+            for src, dst, aligns, ta, tb in zip(
+                pdf["src"], pdf["dst"], pdf["aligns"],
                 pdf["text_src"], pdf["text_dst"],
             ):
-                a, b = _codepoints(ta), _codepoints(tb)
-                pa, pb = int(pa), int(pb)
-                # right extension (vectorized mismatch scan)
-                x, y = a[pa + win :], b[pb + win :]
-                nr = min(len(x), len(y))
-                neq = x[:nr] != y[:nr]
-                ext_r = int(np.argmax(neq)) if neq.any() else nr
-                # left extension
-                x, y = a[:pa][::-1], b[:pb][::-1]
-                nl = min(len(x), len(y))
-                neq = x[:nl] != y[:nl]
-                ext_l = int(np.argmax(neq)) if neq.any() else nl
-                out_src.append(src)
-                out_dst.append(dst)
-                out_ps.append(pa - ext_l)
-                out_pd.append(pb - ext_l)
-                out_len.append(win + ext_r + ext_l)
+                src, dst = int(src), int(dst)
+                a = decoded.get(src)
+                if a is None:
+                    a = decoded[src] = _codepoints(ta)
+                b = decoded.get(dst)
+                if b is None:
+                    b = decoded[dst] = _codepoints(tb)
+                # sort by (diagonal, pos): runs on one diagonal are met
+                # left to right, so one end-marker per diagonal suffices
+                pairs = sorted(
+                    (int(x["pos_src"]) - int(x["pos_dst"]), int(x["pos_src"]))
+                    for x in aligns
+                )
+                seen: set[tuple[int, int, int]] = set()
+                prev_diag, prev_end = None, -1
+                for diag, pa in pairs:
+                    if diag != prev_diag:
+                        prev_diag, prev_end = diag, -1
+                    if pa < prev_end:  # inside the previous maximal run
+                        continue
+                    pb = pa - diag
+                    # right extension (vectorized mismatch scan)
+                    x, y = a[pa + win :], b[pb + win :]
+                    nr = min(len(x), len(y))
+                    neq = x[:nr] != y[:nr]
+                    ext_r = int(np.argmax(neq)) if neq.any() else nr
+                    # left extension
+                    x, y = a[:pa][::-1], b[:pb][::-1]
+                    nl = min(len(x), len(y))
+                    neq = x[:nl] != y[:nl]
+                    ext_l = int(np.argmax(neq)) if neq.any() else nl
+                    prev_end = pa + win + ext_r
+                    trip = (pa - ext_l, pb - ext_l, win + ext_r + ext_l)
+                    if trip in seen:
+                        continue
+                    seen.add(trip)
+                    out_src.append(src)
+                    out_dst.append(dst)
+                    out_ps.append(trip[0])
+                    out_pd.append(trip[1])
+                    out_len.append(trip[2])
             yield pd.DataFrame(
                 {
                     "src": pd.Series(out_src, dtype="int64"),
@@ -239,11 +408,11 @@ def _extend_matches(docs: DataFrame, matches: DataFrame, min_len: int) -> DataFr
         run,
         schema="src long, dst long, pos_src int, pos_dst int, run_len int",
     )
-    # two anchors inside one shared run both extend to the SAME maximal
-    # (start, start, len) triple — dedup yields exactly the maximal runs
-    return runs.where(F.col("run_len") >= min_len).dropDuplicates(
-        ["src", "dst", "pos_src", "pos_dst", "run_len"]
-    )
+    # output rows are globally unique WITHOUT a dedup exchange: all
+    # anchors of one (src, dst) pair arrive in a single grouped row, and
+    # the in-UDF `seen` set collapses the anchors of each maximal run to
+    # one triple (round 5 paid a dropDuplicates shuffle here)
+    return runs.where(F.col("run_len") >= min_len)
 
 
 def substring_dup_spans(
@@ -298,8 +467,23 @@ def _substring_matches(
 
     # localCheckpoint: the anchor UDF (the expensive Python stage) runs
     # exactly once even though anchors feed both the viral-count agg and
-    # the pairing join.
-    anchors = anchored_windows(docs, min_len).localCheckpoint(eager=True)
+    # the pairing join. (NOT .persist(): a CacheManager entry would both
+    # leak until an explicit unpersist and silently cache-substitute
+    # repeated invocations in one session — the checkpointed RDD is a
+    # fresh compute per call and is GC-cleaned.)
+    # The single hash-repartition on the bucket key then serves the whole
+    # pairing path (guide §2.4): the viral-count agg (incl. its distinct
+    # pre-agg), the eligibility join and bucket_pairs' collect all reuse
+    # that partitioning — the round-5 plan exchanged anchor rows three
+    # times (count-distinct expand, count, collect). The explicit
+    # partition count keeps AQE from coalescing the small local shuffle
+    # to one partition, which would serialize the pair expansion.
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    anchors = (
+        anchored_windows(docs, min_len)
+        .localCheckpoint(eager=True)
+        .repartition(nparts, "h1", "h2")
+    )
     counts = anchors.groupBy("h1", "h2").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
