@@ -63,6 +63,34 @@ def hash_shingle(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big") >> 4
 
 
+def hash_shingle_lists(shingle_lists: list[list[str]]) -> list[np.ndarray]:
+    """Batched `hash_shingles` over many docs (bit-identical, asserted in
+    tests): one md5 per shingle still, but the digest→uint64 conversion
+    is one vectorized pass over the concatenated digests instead of an
+    int.from_bytes + shift per shingle (guide §4.2 — the per-call Python
+    was ~40% of the signature stage's hashing time)."""
+    md5 = hashlib.md5
+    counts = []
+    digs = []
+    for sh in shingle_lists:
+        counts.append(len(sh))
+        digs.extend(md5(s.encode("utf-8")).digest() for s in sh)
+    if not digs:
+        return [np.empty(0, dtype=np.uint64) for _ in shingle_lists]
+    # first 8 big-endian bytes of each 16-byte digest, then >> 4 = the
+    # 60-bit prefix hash_shingle computes
+    flat = (
+        np.frombuffer(b"".join(digs), dtype=">u8").reshape(-1, 2)[:, 0].copy()
+        >> np.uint64(4)
+    )
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(flat[pos : pos + c]))
+        pos += c
+    return out
+
+
 def hash_shingles(shingles: list[str]) -> np.ndarray:
     """Hash a shingle list to distinct sorted uint64s (60-bit md5 prefix).
 

@@ -90,7 +90,12 @@ def signatures_pdf(
     pdf: pd.DataFrame, cfg: DedupConfig, a: np.ndarray, b: np.ndarray
 ) -> pd.DataFrame:
     """One Arrow batch: (doc_id, shingle_hashes, num_shingles_raw) →
-    full signature rows. Hash arrays arrive pre-capped and sorted."""
+    full signature rows. Hash arrays arrive pre-capped and sorted.
+
+    The per-doc loop is deliberate: the (num_perm × m) outer product per
+    doc stays in cache and a `ufunc.reduceat`-batched variant measured
+    ~8× SLOWER (reduceat is a scalar C loop, not SIMD) — see
+    OPTIMIZATION_r06.md."""
     minhashes: list[np.ndarray] = []
     simhashes: list[int] = []
     for hashes in pdf["shingle_hashes"]:
@@ -124,21 +129,24 @@ def compute_signatures(df, cfg: DedupConfig | None = None):
     k = cfg.shingle_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simages_spark.functions.shingles import hash_shingle_lists
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            hashes, raw = [], []
-            for text in pdf["text"].fillna(""):
-                # distinct sorted 60-bit md5 hashes; cap keeps the
-                # smallest (deterministic), raw count surfaces truncation
-                h = hash_shingles(shingle_strings(text, k))
-                raw.append(len(h))
-                hashes.append(h[:cap].astype(np.int64))
+            # distinct sorted 60-bit md5 hashes per doc (batched digest
+            # conversion); cap keeps the smallest (deterministic), raw
+            # count surfaces truncation
+            distinct = hash_shingle_lists(
+                [shingle_strings(t, k) for t in pdf["text"].fillna("")]
+            )
             inner = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "shingle_hashes": hashes,
-                    "num_shingles_raw": pd.Series(raw, dtype="int32"),
+                    "shingle_hashes": [h[:cap].astype(np.int64) for h in distinct],
+                    "num_shingles_raw": pd.Series(
+                        [len(h) for h in distinct], dtype="int32"
+                    ),
                 }
             )
             yield signatures_pdf(inner, cfg, a, b)

@@ -21,15 +21,18 @@ from pyspark.sql import DataFrame, functions as F
 from simages_spark.config import DedupConfig
 
 
-def _normalize(edges: DataFrame) -> DataFrame:
-    """Orient src > dst, drop self-loops, dedup."""
-    return (
-        edges.select(
-            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
-        )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+def _normalize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Orient src > dst, drop self-loops; dedup unless told not to.
+
+    Every min/groupBy in the star rounds is multiplicity-invariant, so
+    the intermediate dedups are set-semantically redundant — each one
+    was a full edge exchange per round (guide §2.4). Only the round's
+    FINAL normalize dedups (the fingerprint counts edges there); the
+    inputs it feeds tolerate the ≤2× row inflation."""
+    out = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return out.dropDuplicates(["src", "dst"]) if dedup else out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -44,12 +47,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return _normalize(
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst")),
+        dedup=False,
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    oriented = _normalize(edges)  # src > dst
+    oriented = _normalize(edges, dedup=False)  # src > dst
     mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
     rewired = (
         oriented.join(mins, "src")
@@ -82,6 +86,8 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     the collect is ~1.6 MB — far below any driver-memory concern — and
     every large input still takes the distributed path (asserted by the
     20M-edge soaks)."""
+    import pandas as pd
+
     spark = edges.sparkSession
     parent: dict[int, int] = {}
 
@@ -93,19 +99,29 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
-        ra, rb = find(row[0]), find(row[1])
+    # toPandas / createDataFrame(pandas): Arrow-batched both ways — the
+    # pickled-Row collect + list-of-tuples createDataFrame measured ~3×
+    # slower at the 100k-edge threshold (guide §6: Arrow for driver
+    # transfers). Labels are identical; only the transfer encoding moved.
+    pdf = edges.select("src", "dst").toPandas()
+    for ra, rb in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(ra), find(rb)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     nodes = set(parent)
     labels: dict[int, int] = {}
     for n in nodes:
         labels[n] = find(n)
-    out = [(n, r) for n, r in labels.items()] + [
-        (r, r) for r in set(labels.values())
-    ]
-    if not out:
+    if not nodes:
         return spark.createDataFrame([], "doc_id long, cluster_id long")
+    roots = set(labels.values())
+    out = pd.DataFrame(
+        {
+            "doc_id": list(labels.keys()) + list(roots),
+            "cluster_id": list(labels.values()) + list(roots),
+        },
+        dtype="int64",
+    )
     return spark.createDataFrame(out, "doc_id long, cluster_id long")
 
 

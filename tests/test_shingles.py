@@ -94,3 +94,30 @@ def test_jvm_edge_cases(spark):
     assert got[2] == []
     assert got[3] == ["one two"]
     assert got[4] == ["a b c d e", "b c d e f"]
+
+
+def test_hash_shingle_lists_batched_identity():
+    """Round-6 optimization guard: the batched digest conversion must be
+    bit-identical to per-doc hash_shingles, including empties/unicode."""
+    import numpy as np
+
+    from simages_spark.functions.shingles import (
+        hash_shingle_lists,
+        hash_shingles,
+    )
+
+    lists = [
+        [],
+        ["a b c d e"],
+        ["a b c d e", "b c d e f", "a b c d e"],  # dup inside a doc
+        ["é 世 界 x y", "z" * 200],
+        [""],
+    ]
+    got = hash_shingle_lists(lists)
+    ref = [hash_shingles(sh) for sh in lists]
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.dtype == r.dtype and np.array_equal(g, r)
+    # all-empty batch
+    got0 = hash_shingle_lists([[], []])
+    assert all(len(g) == 0 for g in got0)
