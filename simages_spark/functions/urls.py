@@ -190,13 +190,26 @@ def revisit_keep_latest(
         with_norm.groupBy("url_norm")
         .agg(F.max(F.struct(F.col(ts_col), F.col(url_col))).alias("_w"))
         .select(
-            "url_norm",
-            F.col(f"_w.{ts_col}").alias(ts_col),
-            F.col(f"_w.{url_col}").alias(url_col),
+            F.col("url_norm").alias("_w_norm"),
+            F.col(f"_w.{ts_col}").alias("_w_ts"),
+            F.col(f"_w.{url_col}").alias("_w_url"),
         )
     )
-    return with_norm.join(winners, ["url_norm", ts_col, url_col]).dropDuplicates(
-        ["url_norm"]
+    # ts matched null-SAFELY: when every fetch of a canonical URL has
+    # NULL warc_ts (the in-domain "Time unknown" sentinel), the elected
+    # winner's ts is NULL and a plain equi-join would never match —
+    # silently dropping the whole URL group (round-5 ADVICE finding).
+    cond = (
+        (with_norm["url_norm"] == F.col("_w_norm"))
+        & with_norm[ts_col].eqNullSafe(F.col("_w_ts"))
+        & (with_norm[url_col] == F.col("_w_url"))
+    )
+    lead = ["url_norm", ts_col, url_col]
+    rest = [c for c in with_norm.columns if c not in lead]
+    return (
+        with_norm.join(winners, cond)
+        .select(*lead, *rest)  # same column order as the round-5 key-join
+        .dropDuplicates(["url_norm"])
     )
 
 

@@ -610,3 +610,46 @@ def test_cli_curate_command(spark, tmp_path, monkeypatch, capsys):
     assert out["dedup_dropped"] == 1       # doc 1 loses to doc 0
     assert out["contaminated_dropped"] == 1  # doc 3
     assert out["curated_docs"] == 2          # docs 0 and 2 survive
+
+
+def test_cli_curate_checkpoint_hit_reuses_counts(spark, tmp_path, monkeypatch, capsys):
+    """Round-6: on a curated_corpus fingerprint hit the drop counts come
+    from the sidecar written at compute time — the expensive decision
+    sets are not re-derived (round-5 ADVICE), and the output is
+    byte-identical across the miss and hit invocations."""
+    from simages_spark.cli import main
+
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = " ".join(f"word{i}" for i in range(40))
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [
+            (0, base, "en", 0),
+            (1, base, "en", 1),
+            (2, "clean and unique page with plenty of distinct words "
+                "covering the minimum token threshold easily right here",
+             "en", 2),
+        ],
+        "doc_id long, text string, lang string, warc_ts long",
+    ).write.parquet(corpus)
+    benchmark = str(tmp_path / "bench.parquet")
+    spark.createDataFrame(
+        [(100, "bench mark gram one two three four five six seven")],
+        "doc_id long, text string",
+    ).write.parquet(benchmark)
+    wd = str(tmp_path / "wd")
+    for cmd in ("signatures", "candidates", "cluster"):
+        assert main([cmd, "--input", corpus, "--workdir", wd]) == 0
+    capsys.readouterr()
+    args = ["curate", "--input", corpus, "--workdir", wd,
+            "--benchmark", benchmark]
+    assert main(args) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    import os as _os
+    sidecar = _os.path.join(wd, "curate_counts.json")
+    assert _os.path.exists(sidecar)
+    assert main(args) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first == second
+    assert second["dedup_dropped"] == 1

@@ -193,3 +193,23 @@ def test_ingest_recrawl_newest_wins(spark, tmp_path):
     # crawl C: entirely stale — no new version committed
     v = ingest_recrawl(t, mk([("http://a.com/x", t1, "x-older")]))
     assert v == 1 and t.current_version() == 1
+
+
+def test_revisit_keep_latest_all_null_ts_group_survives(spark):
+    """Round-5 ADVICE regression: a canonical URL whose every fetch has
+    NULL warc_ts ("Time unknown" sentinel) must still keep one row —
+    the election join matches the ts null-safely."""
+    df = spark.createDataFrame(
+        [
+            ("http://a.com/x", None, "x-1"),
+            ("http://a.com/x/", None, "x-2"),
+            ("http://b.com/y", 5, "y-new"),
+            ("http://b.com/y?", 3, "y-old"),
+        ],
+        "url string, warc_ts long, text string",
+    )
+    kept = {r["url_norm"]: r["text"] for r in revisit_keep_latest(df).collect()}
+    assert set(kept) == {"http://a.com/x", "http://b.com/y"}
+    # deterministic winner in the all-NULL group: max raw url tie-break
+    assert kept["http://a.com/x"] == "x-2"
+    assert kept["http://b.com/y"] == "y-new"
