@@ -62,6 +62,7 @@ def bucket_pairs(
     member_col: Column | str,
     cap: int = 200,
     nsalt: int = 8,
+    dedup: bool = True,
 ) -> DataFrame:
     """(keys..., member) → distinct (a, b) pairs co-bucketed by the keys.
 
@@ -70,6 +71,14 @@ def bucket_pairs(
     each salt class is truncated to its `cap` smallest members, so the
     worst bucket emits ≤ nsalt·C(cap, 2) pairs regardless of size (see
     module docstring; callers' metrics surface the truncation).
+
+    `dedup=False` skips the cross-bucket pair dedup (one exchange of the
+    pair set): pass it ONLY when the caller either proves each member
+    belongs to exactly one bucket (pairs unique by construction — the
+    suffix anchors: one (h1, h2) per (doc_id, pos)) or runs its own
+    dropDuplicates downstream anyway (the SimHash Hamming filter, the
+    pipeline's candidate union). With dedup=False the output may contain
+    the same (a, b) once per shared bucket.
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
     grouped = (
@@ -105,15 +114,14 @@ def bucket_pairs(
         ),
     )
     pairs = F.when(F.size("ids") <= cap, _pairs_of(F.col("ids"))).otherwise(salted)
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
+    out = grouped.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+    return out.dropDuplicates(["a", "b"]) if dedup else out
 
 
 def bucket_star_edges(
-    df: DataFrame, key_cols: list[str], member_col: Column | str
+    df: DataFrame, key_cols: list[str], member_col: Column | str, dedup: bool = True
 ) -> DataFrame:
     """(keys..., member) → star edges (min-member, other) per bucket.
 
@@ -121,6 +129,11 @@ def bucket_star_edges(
     a full content hash) connectivity is all downstream CC needs — linear
     edges instead of quadratic (a 1M-copy spam page yields 10^6 edges,
     not 5·10^11).
+
+    `dedup=False` skips the cross-bucket dedup exchange; safe whenever
+    each member belongs to exactly one bucket (e.g. key = full content
+    hash: a doc has ONE sha, so every (min, other) edge is emitted by
+    exactly one bucket).
     """
     member = F.col(member_col) if isinstance(member_col, str) else member_col
     grouped = (
@@ -132,8 +145,7 @@ def bucket_star_edges(
         F.slice(F.col("ids"), 2, F.size("ids")),
         lambda y: F.struct(F.col("ids")[0].alias("a"), y.alias("b")),
     )
-    return (
-        grouped.select(F.explode(stars).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .dropDuplicates(["a", "b"])
+    out = grouped.select(F.explode(stars).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+    return out.dropDuplicates(["a", "b"]) if dedup else out

@@ -87,7 +87,10 @@ def exact_dup_edges(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
     hashed = with_content_hash(nonempty, text_col).select("doc_id", "text_sha")
-    stars = bucket_star_edges(hashed, ["text_sha"], "doc_id")
+    # dedup=False: each doc has exactly one sha, so each (min, other)
+    # edge is emitted by exactly one bucket — the cross-bucket dedup
+    # exchange was provably a no-op (guide §2.4)
+    stars = bucket_star_edges(hashed, ["text_sha"], "doc_id", dedup=False)
     return stars.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("jaccard")
     )

@@ -62,7 +62,7 @@ def band_keys(
 
 
 def candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig | None = None
+    signatures: DataFrame, cfg: DedupConfig | None = None, dedup: bool = True
 ) -> DataFrame:
     """LSH candidate edges (src < dst), deduplicated across bands.
 
@@ -71,6 +71,11 @@ def candidate_pairs(
     pair dedup across bands is the only other exchange. Oversized buckets
     are salt-split inside the expression (bounded recall loss, surfaced by
     `lsh_metrics` — never silent).
+
+    `dedup=False` skips the cross-band dedup exchange — for callers that
+    union this with other candidate sources and dropDuplicates once over
+    the union (the pipeline); rows are then unique per agreeing band,
+    not per pair.
     """
     cfg = cfg or DedupConfig()
     from simages_spark.operators.buckets import bucket_pairs
@@ -81,6 +86,7 @@ def candidate_pairs(
         "doc_id",
         cap=cfg.max_bucket_size,
         nsalt=cfg.bucket_salt,
+        dedup=dedup,
     )
     return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
 

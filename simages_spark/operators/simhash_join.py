@@ -62,13 +62,22 @@ def simhash_keys(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataF
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig | None = None
+    signatures: DataFrame, cfg: DedupConfig | None = None, dedup: bool = True
 ) -> DataFrame:
     """Pairs (src < dst) with Hamming(simhash) ≤ cfg.simhash_max_hamming.
 
     Single-shuffle bucket expansion (operators/buckets.py) carrying
     struct(doc_id, simhash) as the bucket member, so the exact Hamming
     filter runs right on the expanded pair — no join back to signatures.
+
+    One pair-dedup exchange, not two (guide §2.4): `bucket_pairs` runs
+    with dedup=False because (a, b) ↔ (src, dst) is 1:1 here — each
+    doc_id carries exactly one simhash in `signatures`, so dedup by
+    member struct and dedup by doc_id pair are the same operation, and
+    the final dropDuplicates below subsumes the inner one. Callers that
+    re-dedup downstream (the pipeline's candidate union) pass
+    dedup=False to skip this exchange too; rows are then unique per
+    agreeing combination block rather than per pair.
     """
     cfg = cfg or DedupConfig()
     from simages_spark.operators.buckets import bucket_pairs
@@ -77,9 +86,10 @@ def simhash_candidates(
         "key", F.struct(F.col("doc_id"), F.col("simhash")).alias("m")
     )
     pairs = bucket_pairs(
-        keyed, ["key"], "m", cap=cfg.max_bucket_size, nsalt=cfg.bucket_salt
+        keyed, ["key"], "m", cap=cfg.max_bucket_size, nsalt=cfg.bucket_salt,
+        dedup=False,
     )
-    return (
+    out = (
         pairs.withColumn(
             "hamming",
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
@@ -90,5 +100,5 @@ def simhash_candidates(
             F.col("b.doc_id").alias("dst"),
             "hamming",
         )
-        .dropDuplicates(["src", "dst"])
     )
+    return out.dropDuplicates(["src", "dst"]) if dedup else out

@@ -465,12 +465,19 @@ def _substring_matches(
 ) -> DataFrame:
     from simages_spark.operators.buckets import bucket_pairs
 
-    # localCheckpoint: the anchor UDF (the expensive Python stage) runs
-    # exactly once even though anchors feed both the viral-count agg and
-    # the pairing join. (NOT .persist(): a CacheManager entry would both
-    # leak until an explicit unpersist and silently cache-substitute
-    # repeated invocations in one session — the checkpointed RDD is a
-    # fresh compute per call and is GC-cleaned.)
+    # LAZY localCheckpoint: the anchor UDF (the expensive Python stage)
+    # runs exactly once even though anchors feed both the viral-count agg
+    # and the pairing join — the checkpointed RDD pins the lineage so
+    # column pruning cannot diverge the two consumers into re-running the
+    # UDF (without any checkpoint the counts branch prunes `pos` below
+    # its exchange, the subtrees stop being identical, exchange reuse
+    # breaks, and the UDF measurably runs TWICE). eager=False because the
+    # first consuming stage materializes the blocks anyway (block-manager
+    # locking guarantees compute-once); the former eager=True spent a
+    # dedicated blocking job on the same materialization. (NOT .persist():
+    # a CacheManager entry would leak until an explicit unpersist and
+    # silently cache-substitute repeated invocations in one session —
+    # the checkpointed RDD is a fresh compute per call and GC-cleaned.)
     # The single hash-repartition on the bucket key then serves the whole
     # pairing path (guide §2.4): the viral-count agg (incl. its distinct
     # pre-agg), the eligibility join and bucket_pairs' collect all reuse
@@ -481,7 +488,7 @@ def _substring_matches(
     nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     anchors = (
         anchored_windows(docs, min_len)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
         .repartition(nparts, "h1", "h2")
     )
     counts = anchors.groupBy("h1", "h2").agg(
@@ -493,6 +500,11 @@ def _substring_matches(
         ).select("h1", "h2"),
         ["h1", "h2"],
     )
+    # bucket_pairs dedup=False: an anchor (doc_id, pos) emits exactly one
+    # (h1, h2), so a member pair can only co-occur in that single bucket —
+    # cross-bucket duplicates are impossible and the pair-dedup exchange
+    # was a no-op. (The extension UDF's in-run skip + seen-set would
+    # collapse duplicates anyway; there are none to collapse.)
     matches = (
         bucket_pairs(
             eligible.select(
@@ -502,6 +514,7 @@ def _substring_matches(
             "m",
             cap=4 * max_docs_per_window,
             nsalt=8,
+            dedup=False,
         )
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
         .select(

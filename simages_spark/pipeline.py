@@ -82,11 +82,17 @@ def build_candidates(
     star EDGES in `build_edges`, not candidates — representatives have
     pairwise-distinct texts and identical docs never need verification.
     Legacy path: exact pairs union in here (cheap, guarantees identical
-    docs pair up even if both LSH and SimHash somehow missed)."""
-    cand = candidate_pairs(signatures, cfg)
+    docs pair up even if both LSH and SimHash somehow missed).
+
+    The union's final dropDuplicates is the ONLY pair-dedup exchange:
+    both branches run with dedup=False (guide §2.4 — their internal
+    dedups produced the same distinct set the union dedup recomputes;
+    per-branch duplicate rows are full-row identical, so the merged
+    distinct set is unchanged)."""
+    cand = candidate_pairs(signatures, cfg, dedup=False)
     if use_simhash:
         cand = cand.unionByName(
-            simhash_candidates(signatures, cfg).select("src", "dst")
+            simhash_candidates(signatures, cfg, dedup=False).select("src", "dst")
         )
     if not cfg.exact_first:
         cand = cand.unionByName(exact_dup_edges(docs).select("src", "dst"))
