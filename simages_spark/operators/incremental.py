@@ -252,10 +252,15 @@ def within_batch_edges(
     from simages_spark.operators.simhash_join import simhash_candidates
 
     cfg = cfg or DedupConfig()
-    cand = candidate_pairs(new_signatures, cfg)
+    # dedup=False on both branches: the union's dropDuplicates below is
+    # the single pair-dedup exchange (same reasoning as the pipeline's
+    # build_candidates, guide §2.4)
+    cand = candidate_pairs(new_signatures, cfg, dedup=False)
     if use_simhash:
         cand = cand.unionByName(
-            simhash_candidates(new_signatures, cfg).select("src", "dst")
+            simhash_candidates(new_signatures, cfg, dedup=False).select(
+                "src", "dst"
+            )
         )
     return verify_pairs(
         cand.dropDuplicates(["src", "dst"]), new_signatures, cfg

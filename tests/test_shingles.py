@@ -121,3 +121,31 @@ def test_hash_shingle_lists_batched_identity():
     # all-empty batch
     got0 = hash_shingle_lists([[], []])
     assert all(len(g) == 0 for g in got0)
+
+
+def test_shingle_strings_slice_equals_join_per_window():
+    """The offset-sliced k-gram construction must equal the literal
+    per-window join for arbitrary content (incl. unicode, repeated
+    tokens, k-boundary sizes) — the portability contract depends on it."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = ["a", "bb", "ccc", "Ж", "日本語", "x1", "--", "..."]
+
+    def reference(text, k=5):
+        toks = tokenize(text)
+        if not toks:
+            return []
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return list(dict.fromkeys(grams))
+
+    for trial in range(300):
+        n = rng.randint(0, 12)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        seps = [rng.choice([" ", "  ", "\t", "\n", " \t "]) for _ in range(n)]
+        text = "".join(t + s for t, s in zip(toks, seps))
+        for k in (1, 2, 5, 7):
+            assert shingle_strings(text, k) == reference(text, k), (text, k)
