@@ -57,18 +57,24 @@ def representative_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The near-dup machinery only needs distinct texts: identical copies
     share the representative's shingle set exactly, and connectivity to
     the representative is owned by the exact-hash star layer. One shuffle
-    on the content hash (`any_value(text)` is deterministic — all values
-    in a sha-256 group are byte-identical)."""
+    on the content hash.
+
+    `text` rides as a GROUP KEY, not an `any_value` aggregate: the sha
+    determines the text (byte-identical within a group), so the groups —
+    and the output — are unchanged, but the aggregation buffer is now a
+    single mutable long (min doc_id). With `any_value(text)` the buffer
+    held a string, which no hash-based aggregate supports — the planner
+    fell back to SortAggregate and SORTED the full (sha, text) corpus on
+    both sides of the exchange (observed in the e2e plan; guide §7.2).
+    Group keys may be var-length, so this form is a plain HashAggregate
+    with map-side partial aggregation."""
     nonempty = docs.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
     return (
         with_content_hash(nonempty, text_col)
-        .groupBy("text_sha")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.any_value(text_col).alias(text_col),
-        )
+        .groupBy("text_sha", text_col)
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", text_col)
     )
 
