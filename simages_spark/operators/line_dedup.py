@@ -84,6 +84,10 @@ def doc_segments(
     return segs.withColumn("seg_key", F.md5(F.col("segment")))
 
 
+_ENC_TWO63 = "CAST('9223372036854775808' AS DECIMAL(38,0))"  # 2^63
+_ENC_MUL = "CAST('2147483648' AS DECIMAL(38,0))"  # 2^31 > any pos (int32 ≥ 0)
+
+
 def segment_keepers(occurrences: DataFrame) -> DataFrame:
     """Corpus-wide keep-first election: per seg_key, the (doc_id, pos)
     of the FIRST occurrence under (doc_id asc, pos asc) — the same
@@ -92,13 +96,28 @@ def segment_keepers(occurrences: DataFrame) -> DataFrame:
 
     One shuffle with map-side partial agg; hot boilerplate keys reduce
     map-side instead of serializing through one window task.
+
+    The lexicographic (doc_id, pos) min is computed over ONE
+    decimal(38,0) encoding, (doc_id + 2^63)·2^31 + pos — strictly
+    monotone in (doc_id asc, pos asc), exact (≤ 29 digits), and decoded
+    losslessly below. Why not `min(struct(doc_id, pos))`: a struct
+    aggregation buffer is not a mutable UnsafeRow type, so the planner
+    fell back to SortAggregate and SORTED every occurrence row on both
+    sides of the exchange (observed in the plan; guide §7.2). The
+    decimal buffer is fixed-width mutable → plain HashAggregate, and the
+    map-side partial agg still collapses hot boilerplate keys — now
+    without the sorts. Equality with the struct-min form is pinned by
+    tests/test_line_dedup.py over full-range doc_ids.
     """
-    return occurrences.groupBy("seg_key").agg(
-        F.min(F.struct("doc_id", "pos")).alias("_w")
-    ).select(
+    two63, mul = F.expr(_ENC_TWO63), F.expr(_ENC_MUL)
+    enc = (
+        F.col("doc_id").cast("decimal(38,0)") + two63
+    ) * mul + F.col("pos").cast("decimal(38,0)")
+    w_pos = F.col("_e") % mul
+    return occurrences.groupBy("seg_key").agg(F.min(enc).alias("_e")).select(
         "seg_key",
-        F.col("_w.doc_id").alias("w_doc_id"),
-        F.col("_w.pos").alias("w_pos"),
+        ((F.col("_e") - w_pos) / mul - two63).cast("long").alias("w_doc_id"),
+        w_pos.cast("int").alias("w_pos"),
     )
 
 

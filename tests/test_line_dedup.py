@@ -141,3 +141,37 @@ def test_line_dedup_winners_join_never_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert not re.search(r"BroadcastHashJoin[^\n]*seg_key", plan), plan
     assert re.search(r"SortMergeJoin[^\n]*seg_key", plan)
+
+
+def test_segment_keepers_decimal_encoding_equals_struct_min(spark):
+    """The decimal-encoded election must equal min(struct(doc_id, pos))
+    exactly, including full-range (negative) doc_ids, pos 0 and pos near
+    2^31 — the encoding is the hash-aggregable form of the same order."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from simages_spark.operators.line_dedup import segment_keepers
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(5000):
+        doc = rng.choice(
+            [rng.randint(-(2**63), 2**63 - 1), rng.randint(-3, 3)]
+        )
+        pos = rng.choice([0, 1, rng.randint(0, 2**31 - 1)])
+        rows.append((str(rng.randint(0, 800)), doc, pos))
+    occ = spark.createDataFrame(rows, "seg_key string, doc_id long, pos int")
+    ref = (
+        occ.groupBy("seg_key")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("_w"))
+        .select(
+            "seg_key",
+            F.col("_w.doc_id").alias("w_doc_id"),
+            F.col("_w.pos").alias("w_pos"),
+        )
+    )
+    got = segment_keepers(occ)
+    assert sorted(map(tuple, ref.collect())) == sorted(
+        map(tuple, got.collect())
+    )
