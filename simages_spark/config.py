@@ -66,9 +66,18 @@ class DedupConfig:
     cc_checkpoint_every: int = 1
     cc_max_rounds: int = 50
     # edge-count bound for the CC driver union-find fast path (identical
-    # labels; ~16 B/edge collected, so 100k ≈ 1.6 MB — the same size-gated
+    # labels; ~16 B/edge collected, so 1M ≈ 16 MB — the same size-gated
     # physical-strategy idea as autoBroadcastJoinThreshold). 0 disables.
-    cc_driver_threshold: int = 100_000
+    # Crossover measured in round 6 on a realistic dedup-shaped graph
+    # (300k edges / 417k nodes, clean-steal reps): driver union-find
+    # ~2.0 s vs ~4.4-5.7 s distributed, identical labels — the driver
+    # path stays cheaper until well past 1M edges, and 1M keeps the
+    # collect (16 MB) and the transient Python dicts (~150 MB) far from
+    # any driver-memory concern at the 24g default. Every genuinely
+    # large graph still takes the distributed rounds (asserted by the
+    # 20M-edge soaks); the label-equality gate
+    # (test_fast_path_equals_distributed_random_graph) pins identity.
+    cc_driver_threshold: int = 1_000_000
 
     def __post_init__(self) -> None:
         if self.lsh_bands * self.lsh_rows != self.num_perm:
